@@ -1,0 +1,9 @@
+from . import vocab  # noqa: F401  (registers Vocab family)
+from . import datasets  # noqa: F401  (registers dataset family)
+from . import word_embedding  # noqa: F401  (registers word embeddings)
+from .loader import DataLoader  # noqa: F401
+from .text_utils import (  # noqa: F401
+    get_tokenizer,
+    is_japanese_sentence,
+    preprocess_sentence,
+)

@@ -1,0 +1,135 @@
+"""Foundation-layer tests: registry, config, instance/batch, text utils, vocab."""
+
+import numpy as np
+import pytest
+
+from openvivqa_tpu.config import ConfigNode, get_config
+from openvivqa_tpu.data.text_utils import is_japanese_sentence, preprocess_sentence
+from openvivqa_tpu.data.vocab import ClassificationVocab, Vocab
+from openvivqa_tpu.registry import Registry
+from openvivqa_tpu.utils.instance import Instance, collate
+
+
+def test_registry_roundtrip():
+    reg = Registry("TEST")
+
+    @reg.register()
+    class Foo:
+        pass
+
+    assert reg.get("Foo") is Foo
+    assert "Foo" in reg
+    with pytest.raises(KeyError):
+        reg.get("Bar")
+    with pytest.raises(KeyError):
+        reg.register(Foo)
+
+
+def test_config_node(tmp_path):
+    path = tmp_path / "cfg.yaml"
+    path.write_text(
+        "TASK: ClassificationTask\nMODEL:\n  D_MODEL: 512\n  DROPOUT: 0.1\n"
+        "  WORD_EMBEDDING: null\n"
+    )
+    cfg = get_config(str(path))
+    assert cfg.TASK == "ClassificationTask"
+    assert cfg.MODEL.D_MODEL == 512
+    assert cfg.MODEL.WORD_EMBEDDING is None
+    assert cfg.MODEL.get("MISSING") is None
+    with pytest.raises(AttributeError):
+        _ = cfg.MODEL.MISSING
+    # hashable + equality (needed as jit static argument)
+    cfg2 = get_config(str(path))
+    assert cfg == cfg2 and hash(cfg) == hash(cfg2)
+    merged = cfg.merged({"MODEL": {"D_MODEL": 256}})
+    assert merged.MODEL.D_MODEL == 256 and merged.MODEL.DROPOUT == 0.1
+
+
+def test_preprocess_sentence():
+    assert preprocess_sentence("Con mèo MÀU gì?") == ["con", "mèo", "màu", "gì", "?"]
+    assert preprocess_sentence('màu "đỏ", (xanh) [vàng] a-b c/d!') == [
+        "màu", '"', "đỏ", '"', ",", "(", "xanh", ")", "[", "vàng", "]",
+        "a", "-", "b", "c", "/", "d", "!",
+    ]
+    assert preprocess_sentence("“quoted”") == ['"', "quoted", '"']
+
+
+def test_is_japanese():
+    assert is_japanese_sentence("これは何ですか")
+    assert not is_japanese_sentence("con mèo màu gì")
+
+
+def test_collate_static_shapes():
+    samples = [
+        Instance(
+            question_tokens=np.array([1, 2, 3, 0], dtype=np.int32),
+            feats=np.ones((5, 8), dtype=np.float32) * i,
+            image_id=i,
+            answers=[f"answer {i}"],
+        )
+        for i in range(3)
+    ]
+    batch = collate(samples, pad_to={"feats": 7}, batch_pad_to=4)
+    assert batch.question_tokens.shape == (4, 4)
+    assert batch.feats.shape == (4, 7, 8)
+    assert np.all(batch.feats[:, 5:] == 0)  # static pad region
+    assert batch.answers == [["answer 0"], ["answer 1"], ["answer 2"]]
+    assert batch.sample_valid.tolist() == [True, True, True, False]
+    assert batch.batch_size == 4
+    arrays = batch.arrays()
+    assert set(arrays) == {"question_tokens", "feats", "image_id", "sample_valid"}
+
+
+def _vocab_config(paths, vocab_type="Vocab"):
+    return ConfigNode(
+        {
+            "TYPE": vocab_type,
+            "TOKENIZER": None,
+            "MIN_FREQ": 1,
+            "WORD_EMBEDDING": None,
+            "WORD_EMBEDDING_CACHE": None,
+            "PAD_TOKEN": "<pad>",
+            "BOS_TOKEN": "<bos>",
+            "EOS_TOKEN": "<eos>",
+            "UNK_TOKEN": "<unk>",
+            "JSON_PATH": {
+                "TRAIN": paths["train"],
+                "DEV": paths["dev"],
+                "TEST": paths["test"],
+            },
+        }
+    )
+
+
+def test_vocab_roundtrip(synthetic_data):
+    vocab = Vocab(_vocab_config(synthetic_data))
+    assert vocab.padding_idx == 0 and vocab.bos_idx == 1
+    assert vocab.eos_idx == 2 and vocab.unk_idx == 3
+    # encode/decode roundtrip
+    question = ["con", "mèo", "màu", "gì", "?"]
+    vec = vocab.encode_question(question)
+    assert vec.shape == (vocab.max_question_length,)
+    assert vec[0] == vocab.bos_idx
+    decoded = vocab.decode_question(vec[None, :], join_words=False)[0]
+    assert decoded == question
+    # answers
+    answer = ["màu", "đỏ"]
+    avec = vocab.encode_answer(answer)
+    assert avec.shape == (vocab.max_answer_length,)
+    assert vocab.decode_answer(avec[None, :], join_words=True)[0] == "màu đỏ"
+    # frequency-then-alpha ordering: most frequent non-special first
+    non_special = [vocab.itos[i] for i in range(4, min(10, len(vocab)))]
+    freqs = [vocab.freqs[w] for w in non_special]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_classification_vocab(synthetic_data):
+    vocab = ClassificationVocab(_vocab_config(synthetic_data, "ClassificationVocab"))
+    assert vocab.total_answers == len(vocab.atoi) > 0
+    some_answer = vocab.itoa[0].split()
+    encoded = vocab.encode_answer(some_answer)
+    assert encoded.shape == (1,)
+    assert vocab.decode_answer(encoded, join_word=True)[0] == vocab.itoa[0]
+    # deterministic ordering across rebuilds
+    vocab2 = ClassificationVocab(_vocab_config(synthetic_data, "ClassificationVocab"))
+    assert vocab.itoa == vocab2.itoa
