@@ -1,0 +1,364 @@
+"""Attention cores and the multi-head wrapper (flax.linen).
+
+Behavioural parity with /root/reference/models/modules/attentions.py:10-338
+(ScaledDotProduct / AugmentedGeometry / AugmentedMemory / Adaptive variants +
+the MultiHeadAttention wrapper with dropout, post-LN residual, optional AoA
+gates and a decode-time K/V cache).
+
+TPU-native redesign vs the reference:
+* the K/V cache is a **static-shape** ring buffer of *projected* per-head
+  keys/values (the reference concatenates raw inputs and re-projects the
+  whole prefix every step, attentions.py:320-325); projecting each token
+  once is mathematically identical and O(L) cheaper;
+* attention math runs in a single batched einsum chain that XLA fuses onto
+  the MXU; masking is additive f32 bias (0 / -10e4), never boolean selects;
+* the reference's geometry-variant crash when a mask is passed
+  (attentions.py:128-129 uses an undefined name) is fixed: the bias is
+  applied to the logits.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...builders import META_ATTENTION
+from .masks import MASK_VALUE, box_relational_embedding
+
+_xavier = nn.initializers.xavier_uniform()
+_zeros = nn.initializers.zeros
+
+
+def _split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    """(bs, L, h*d) -> (bs, h, L, d)."""
+    bs, length, _ = x.shape
+    return x.reshape(bs, length, n_heads, -1).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """(bs, h, L, d) -> (bs, L, h*d)."""
+    bs, h, length, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(bs, length, h * d)
+
+
+class _ProjectionMixin:
+    """Shared q/k/v/o projections for all attention cores."""
+
+    def _build_projections(self):
+        c = self.config
+        self.h = c.HEAD
+        self.d_k = c.D_KEY
+        self.d_v = c.D_VALUE
+        self.d_model = c.D_MODEL
+        self.fc_q = nn.Dense(self.h * self.d_k, kernel_init=_xavier, bias_init=_zeros)
+        self.fc_k = nn.Dense(self.h * self.d_k, kernel_init=_xavier, bias_init=_zeros)
+        self.fc_v = nn.Dense(self.h * self.d_v, kernel_init=_xavier, bias_init=_zeros)
+        self.fc_o = nn.Dense(self.d_model, kernel_init=_xavier, bias_init=_zeros)
+
+    def project_q(self, queries: jnp.ndarray) -> jnp.ndarray:
+        return _split_heads(self.fc_q(queries), self.h)
+
+    def project_kv(
+        self, keys: jnp.ndarray, values: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        return (
+            _split_heads(self.fc_k(keys), self.h),
+            _split_heads(self.fc_v(values), self.h),
+        )
+
+    def attend(
+        self,
+        q: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(float(self.d_k))
+        if attention_bias is not None:
+            logits = logits + attention_bias
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        return self.fc_o(_merge_heads(out))
+
+
+@META_ATTENTION.register()
+class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
+    """softmax(QK^T/sqrt(d_k) + bias) V (attentions.py:10-60 parity)."""
+
+    config: Any
+
+    def setup(self):
+        self._build_projections()
+
+    def __call__(
+        self,
+        queries: jnp.ndarray,
+        keys: jnp.ndarray,
+        values: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        **kwargs,
+    ) -> jnp.ndarray:
+        q = self.project_q(queries)
+        k, v = self.project_kv(keys, values)
+        return self.attend(q, k, v, attention_bias)
+
+
+@META_ATTENTION.register()
+class AugmentedGeometryScaledDotProductAttention(nn.Module, _ProjectionMixin):
+    """Adds a per-head log box-relation bias to the logits
+    (attentions.py:62-137 parity; h Linear(d_g,1) heads fused as one
+    Dense(d_g -> h))."""
+
+    config: Any
+
+    def setup(self):
+        self._build_projections()
+        if self.config.TRIGNOMETRIC_EMBEDDING:
+            self.d_g = self.config.D_MODEL // self.config.HEAD
+        else:
+            self.d_g = 4
+        self.fc_g = nn.Dense(self.config.HEAD, kernel_init=_xavier, bias_init=_zeros)
+        self.trignometric_embedding = self.config.TRIGNOMETRIC_EMBEDDING
+
+    def __call__(
+        self,
+        queries: jnp.ndarray,
+        keys: jnp.ndarray,
+        values: jnp.ndarray,
+        boxes: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        **kwargs,
+    ) -> jnp.ndarray:
+        geometry = box_relational_embedding(
+            boxes, dim_g=self.d_g, trignometric_embedding=self.trignometric_embedding
+        )  # (bs, nk, nk, d_g)
+        g_weights = nn.relu(self.fc_g(geometry))  # (bs, nk, nk, h)
+        g_bias = jnp.log(jnp.clip(g_weights, min=1e-6)).transpose(0, 3, 1, 2)
+
+        q = self.project_q(queries)
+        k, v = self.project_kv(keys, values)
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(float(self.d_k))
+        if attention_bias is not None:
+            logits = logits + attention_bias
+        weights = jax.nn.softmax(logits + g_bias, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        return self.fc_o(_merge_heads(out))
+
+
+@META_ATTENTION.register()
+class AugmentedMemoryScaledDotProductAttention(nn.Module, _ProjectionMixin):
+    """m learned memory K/V slots appended to the keys/values
+    (attentions.py:139-208 parity, incl. the sqrt scalings and the bias being
+    applied to real keys only)."""
+
+    config: Any
+
+    def setup(self):
+        self._build_projections()
+        m = self.config.MEMORY
+        self.m = m
+        self.m_k = self.param(
+            "m_k", nn.initializers.normal(stddev=1.0 / self.d_k), (1, m, self.h * self.d_k)
+        )
+        self.m_v = self.param(
+            "m_v", nn.initializers.normal(stddev=1.0 / m), (1, m, self.h * self.d_v)
+        )
+
+    def __call__(
+        self,
+        queries: jnp.ndarray,
+        keys: jnp.ndarray,
+        values: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        **kwargs,
+    ) -> jnp.ndarray:
+        bs, nk = keys.shape[0], keys.shape[1]
+        m_k = jnp.sqrt(float(self.d_k)) * jnp.broadcast_to(
+            self.m_k, (bs, self.m, self.h * self.d_k)
+        )
+        m_v = jnp.sqrt(float(self.m)) * jnp.broadcast_to(
+            self.m_v, (bs, self.m, self.h * self.d_v)
+        )
+        k = _split_heads(jnp.concatenate([self.fc_k(keys), m_k], axis=1), self.h)
+        v = _split_heads(jnp.concatenate([self.fc_v(values), m_v], axis=1), self.h)
+        q = self.project_q(queries)
+
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(float(self.d_k))
+        if attention_bias is not None:
+            pad = jnp.zeros_like(logits[..., nk:])
+            logits = logits + jnp.concatenate(
+                [jnp.broadcast_to(attention_bias, logits[..., :nk].shape), pad],
+                axis=-1,
+            )
+        weights = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        return self.fc_o(_merge_heads(out))
+
+
+@META_ATTENTION.register()
+class AdaptiveScaledDotProductAttention(nn.Module, _ProjectionMixin):
+    """Adaptive attention with a per-query language-signal column
+    (attentions.py:210-291).  The reference loops over query positions in
+    Python; here the extra column is computed with one einsum:
+    lang_logit[b,h,i] = q_i . s_i / sqrt(d_k), the softmax runs over nk+1
+    columns, and out_i = sum_k w_ik v_k + w_i,nk * s_i."""
+
+    config: Any
+
+    def setup(self):
+        self._build_projections()
+        self.fc_s = nn.Dense(self.h * self.d_k, kernel_init=_xavier, bias_init=_zeros)
+
+    def __call__(
+        self,
+        queries: jnp.ndarray,
+        keys: jnp.ndarray,
+        values: jnp.ndarray,
+        language_signals: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        **kwargs,
+    ) -> jnp.ndarray:
+        q = self.project_q(queries)  # (bs,h,nq,dk)
+        s = _split_heads(self.fc_s(language_signals), self.h)  # (bs,h,nq,dk)
+        k, v = self.project_kv(keys, values)
+
+        scale = jnp.sqrt(float(self.d_k))
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / scale
+        if attention_bias is not None:
+            logits = logits + attention_bias
+        lang_logit = jnp.sum(q * s, axis=-1, keepdims=True) / scale  # (bs,h,nq,1)
+
+        combined = jax.nn.softmax(
+            jnp.concatenate([logits, lang_logit], axis=-1), axis=-1
+        )
+        out = jnp.einsum("bhqk,bhkd->bhqd", combined[..., :-1], v)
+        out = out + combined[..., -1:] * s
+        return self.fc_o(_merge_heads(out))
+
+
+class MultiHeadAttention(nn.Module):
+    """Attention core + dropout + post-LN residual + optional AoA gates +
+    decode-time K/V cache (attentions.py:293-338 parity)."""
+
+    config: Any
+
+    def setup(self):
+        from ...builders import build_attention
+
+        self.use_aoa = self.config.USE_AOA
+        if self.use_aoa:
+            self.informative_attention = nn.Dense(self.config.D_MODEL)
+            self.gated_attention = nn.Dense(self.config.D_MODEL)
+        self.attention = build_attention(self.config)
+        self.dropout = nn.Dropout(rate=self.config.DROPOUT)
+        self.layer_norm = nn.LayerNorm()
+        self.can_be_stateful = self.config.CAN_BE_STATEFUL
+
+    def __call__(
+        self,
+        queries: jnp.ndarray,
+        keys: jnp.ndarray,
+        values: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        decode: bool = False,
+        max_decode_len: int = 0,
+        **kwargs,
+    ) -> jnp.ndarray:
+        if decode and self.can_be_stateful:
+            out = self._decode_step(
+                queries, keys, values, attention_bias, max_decode_len, **kwargs
+            )
+        else:
+            out = self.attention(
+                queries, keys, values, attention_bias=attention_bias,
+                train=train, **kwargs,
+            )
+        out = self.dropout(out, deterministic=not train)
+        out = self.layer_norm(queries + out)
+        if self.use_aoa:
+            aoa_input = jnp.concatenate([queries, out], axis=-1)
+            informative = self.informative_attention(aoa_input)
+            gate = jax.nn.sigmoid(self.gated_attention(aoa_input))
+            out = informative * gate
+        return out
+
+    def _decode_step(
+        self,
+        queries: jnp.ndarray,
+        keys: jnp.ndarray,
+        values: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray],
+        max_decode_len: int,
+        **kwargs,
+    ) -> jnp.ndarray:
+        """One-token decode: write the step's projected K/V into a
+        static-shape cache and attend over the valid prefix.
+
+        `attention_bias` here is the (bs,1,1,1) padding bias of the *current*
+        token (the reference appends per-step masks to
+        running_mask_self_attention, decoders.py:646-648 — same semantics).
+        """
+        if not isinstance(self.attention, ScaledDotProductAttention):
+            raise NotImplementedError(
+                "stateful decode requires ScaledDotProductAttention"
+            )
+        assert max_decode_len > 0, "max_decode_len must be set in decode mode"
+        core = self.attention
+        bs = queries.shape[0]
+
+        k_new, v_new = core.project_kv(keys, values)  # (bs,h,1,dk/dv)
+        cached_k = self.variable(
+            "cache", "key",
+            lambda: jnp.zeros((bs, core.h, max_decode_len, core.d_k), jnp.float32),
+        )
+        cached_v = self.variable(
+            "cache", "value",
+            lambda: jnp.zeros((bs, core.h, max_decode_len, core.d_v), jnp.float32),
+        )
+        cached_bias = self.variable(
+            "cache", "bias",
+            lambda: jnp.zeros((bs, 1, 1, max_decode_len), jnp.float32),
+        )
+        index = self.variable("cache", "index", lambda: jnp.zeros((), jnp.int32))
+
+        i = index.value
+        cached_k.value = jax.lax.dynamic_update_slice(
+            cached_k.value, k_new, (0, 0, i, 0)
+        )
+        cached_v.value = jax.lax.dynamic_update_slice(
+            cached_v.value, v_new, (0, 0, i, 0)
+        )
+        step_bias = (
+            attention_bias
+            if attention_bias is not None
+            else jnp.zeros((bs, 1, 1, 1), jnp.float32)
+        )
+        cached_bias.value = jax.lax.dynamic_update_slice(
+            cached_bias.value, step_bias, (0, 0, 0, i)
+        )
+        index.value = i + 1
+
+        # future positions (> i) masked out; past positions carry their
+        # recorded padding bias
+        positions = jnp.arange(max_decode_len)
+        future = jnp.where(positions > i, MASK_VALUE, 0.0)[None, None, None, :]
+        bias = cached_bias.value + future
+
+        q = core.project_q(queries)
+        return core.attend(q, cached_k.value, cached_v.value, bias)

@@ -1,0 +1,196 @@
+"""Transformer decoder (flax.linen).
+
+Parity: /root/reference/models/modules/decoders.py:13-76 (DecoderLayer,
+Decoder) and :78-133 (AdaptiveDecoder).  Teacher-forcing forward matches the
+reference; single-token decode (`step`) uses the static-shape K/V cache in
+MultiHeadAttention instead of the reference's concat-append buffers, and is
+designed to run under `lax.scan` (cache pytree is the carry).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...builders import META_DECODER, build_text_embedding
+from .attentions import MultiHeadAttention
+from .ffn import PositionWiseFeedForward
+from .masks import causal_bias, combine_biases, padding_bias, sinusoid_encoding_table
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+class DecoderLayer(nn.Module):
+    """Masked self-attn + cross-attn + FFN (decoders.py:13-31 parity)."""
+
+    config: Any
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.config.SELF_ATTENTION)
+        self.enc_attn = MultiHeadAttention(self.config.ENC_ATTENTION)
+        self.pwff = PositionWiseFeedForward(self.config.ENC_ATTENTION)
+
+    def __call__(
+        self,
+        queries,
+        keys,
+        values,
+        self_attention_bias,
+        enc_attention_bias,
+        train: bool = False,
+        decode: bool = False,
+        max_decode_len: int = 0,
+        **kwargs,
+    ):
+        self_att = self.self_attn(
+            queries, queries, queries,
+            attention_bias=self_attention_bias,
+            train=train, decode=decode, max_decode_len=max_decode_len, **kwargs,
+        )
+        enc_att = self.enc_attn(
+            self_att, keys, values,
+            attention_bias=enc_attention_bias, train=train, **kwargs,
+        )
+        return self.pwff(enc_att, train=train)
+
+
+@META_DECODER.register()
+class Decoder(nn.Module):
+    """Generic N-layer masked decoder with sinusoid positions and
+    log-softmax output (decoders.py:33-76 parity)."""
+
+    config: Any
+    vocab: Any
+
+    def setup(self):
+        self.d_model = self.config.D_MODEL
+        self.max_len = self.vocab.max_answer_length
+        self.padding_idx = self.vocab.padding_idx
+
+        self.word_emb = build_text_embedding(self.config.TEXT_EMBEDDING, self.vocab)
+        self.pos_table = jnp.asarray(
+            sinusoid_encoding_table(self.max_len + 1, self.d_model, padding_idx=0)
+        )
+        self.layers = [
+            DecoderLayer(self.config.ATTENTION, name=f"layer_{i}")
+            for i in range(self.config.LAYERS)
+        ]
+        self.fc = nn.Dense(len(self.vocab), use_bias=False, kernel_init=_xavier)
+
+    def __call__(
+        self,
+        answer_tokens: jnp.ndarray,
+        encoder_features: jnp.ndarray,
+        encoder_attention_bias: Optional[jnp.ndarray],
+        train: bool = False,
+    ) -> jnp.ndarray:
+        bs, seq_len = answer_tokens.shape
+        pad_bias = padding_bias(answer_tokens, self.padding_idx)
+        self_bias = combine_biases(pad_bias, causal_bias(seq_len))
+
+        positions = jnp.arange(1, seq_len + 1)[None, :]
+        positions = jnp.where(
+            pad_bias[:, 0, 0, :] != 0, 0, positions
+        )  # pad rows -> position 0 (zeroed table row)
+
+        embedded, _ = self.word_emb(answer_tokens, train=train)
+        out = embedded + jnp.take(self.pos_table, positions, axis=0)
+        for layer in self.layers:
+            out = layer(
+                queries=out, keys=encoder_features, values=encoder_features,
+                self_attention_bias=self_bias,
+                enc_attention_bias=encoder_attention_bias,
+                train=train,
+            )
+        return jax.nn.log_softmax(self.fc(out), axis=-1)
+
+    def step(
+        self,
+        token: jnp.ndarray,
+        encoder_features: jnp.ndarray,
+        encoder_attention_bias: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        """Single-token decode (token: (bs, 1)); mutates the 'cache'
+        collection.  Position counting matches the reference's running_seq
+        (decoders.py:652-654: position = t+1 unconditionally)."""
+        pos_var = self.variable("cache", "pos", lambda: jnp.zeros((), jnp.int32))
+        t = pos_var.value
+        pos_var.value = t + 1
+
+        pad_bias = padding_bias(token, self.padding_idx)  # (bs,1,1,1)
+        embedded, _ = self.word_emb(token)
+        out = embedded + jnp.take(self.pos_table, t + 1, axis=0)[None, None, :]
+        for layer in self.layers:
+            out = layer(
+                queries=out, keys=encoder_features, values=encoder_features,
+                self_attention_bias=pad_bias,
+                enc_attention_bias=encoder_attention_bias,
+                decode=True, max_decode_len=self.max_len,
+            )
+        return jax.nn.log_softmax(self.fc(out), axis=-1)
+
+
+@META_DECODER.register()
+class AdaptiveDecoder(nn.Module):
+    """Decoder with one extra adaptive-attention layer fed frozen-LM
+    language signals (decoders.py:78-133 parity).  The language model is a
+    flax module from the pretrained-LM registry; signals are computed from
+    the answer tokens."""
+
+    config: Any
+    vocab: Any
+
+    def setup(self):
+        from ...builders import build_pretrained_language_model
+
+        self.d_model = self.config.D_MODEL
+        self.max_len = self.vocab.max_answer_length
+        self.padding_idx = self.vocab.padding_idx
+
+        self.word_emb = build_text_embedding(self.config.TEXT_EMBEDDING, self.vocab)
+        self.pos_table = jnp.asarray(
+            sinusoid_encoding_table(self.max_len + 1, self.d_model, padding_idx=0)
+        )
+        self.layers = [
+            DecoderLayer(self.config.ATTENTION, name=f"layer_{i}")
+            for i in range(self.config.LAYERS)
+        ] + [
+            DecoderLayer(
+                self.config.ADAPTIVE_ATTENTION, name=f"layer_{self.config.LAYERS}"
+            )
+        ]
+        self.fc = nn.Dense(len(self.vocab), use_bias=False, kernel_init=_xavier)
+        self.language_model = build_pretrained_language_model(
+            self.config.LANGUAGE_MODEL, self.vocab
+        )
+
+    def __call__(
+        self,
+        answer_tokens: jnp.ndarray,
+        encoder_features: jnp.ndarray,
+        encoder_attention_bias: Optional[jnp.ndarray],
+        train: bool = False,
+    ) -> jnp.ndarray:
+        bs, seq_len = answer_tokens.shape
+        pad_bias = padding_bias(answer_tokens, self.padding_idx)
+        self_bias = combine_biases(pad_bias, causal_bias(seq_len))
+
+        positions = jnp.arange(1, seq_len + 1)[None, :]
+        positions = jnp.where(pad_bias[:, 0, 0, :] != 0, 0, positions)
+
+        _, language_signals = self.language_model(answer_tokens)
+
+        embedded, _ = self.word_emb(answer_tokens, train=train)
+        out = embedded + jnp.take(self.pos_table, positions, axis=0)
+        for layer in self.layers:
+            out = layer(
+                queries=out, keys=encoder_features, values=encoder_features,
+                self_attention_bias=self_bias,
+                enc_attention_bias=encoder_attention_bias,
+                language_signals=language_signals,
+                train=train,
+            )
+        return jax.nn.log_softmax(self.fc(out), axis=-1)

@@ -1,0 +1,218 @@
+"""Text embeddings (flax.linen).
+
+Parity targets in /root/reference/models/modules/text_embeddings.py:
+UsualEmbedding (:56-80), LSTMTextEmbedding (:221-246), DynamicEmbedding
+(:135-177), FixedVocabDynamicEmbedding (:179-219), OcrWordEmbedding
+(:82-133, split host/device here), HierarchicalFeaturesExtractor (:248-281).
+HuggingFace wrappers (Bert/Albert/Roberta/Deberta/XLM-R) live in
+`pretrained_embeddings.py`.
+
+Every embedding returns `(features, (padding_bias, causal_bias))` with the
+additive 0/-10e4 convention so downstream modules are drop-in compatible
+with the reference call sites.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ...builders import META_TEXT_EMBEDDING
+from .masks import causal_bias, padding_bias
+
+_xavier = nn.initializers.xavier_uniform()
+
+
+def _token_masks(tokens: jnp.ndarray, padding_idx: int):
+    return padding_bias(tokens, padding_idx), causal_bias(tokens.shape[-1])
+
+
+@META_TEXT_EMBEDDING.register()
+class UsualEmbedding(nn.Module):
+    """Learned table, or frozen pretrained vectors + projection
+    (text_embeddings.py:56-80 parity)."""
+
+    config: Any
+    vocab: Any
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, train: bool = False):
+        masks = _token_masks(tokens, self.vocab.padding_idx)
+        if self.config.get("WORD_EMBEDDING") is None:
+            table = self.param(
+                "embedding",
+                nn.initializers.normal(stddev=1.0),
+                (len(self.vocab), self.config.D_MODEL),
+            )
+            table = table.at[self.vocab.padding_idx].set(0.0)
+            features = jnp.take(table, tokens, axis=0)
+        else:
+            pretrained = self.variable(
+                "frozen",
+                "embedding",
+                lambda: jnp.asarray(self.vocab.word_embeddings, jnp.float32),
+            )
+            features = jnp.take(pretrained.value, tokens, axis=0)
+            features = nn.Dense(self.config.D_MODEL, kernel_init=_xavier)(features)
+            features = nn.Dropout(rate=self.config.DROPOUT)(
+                features, deterministic=not train
+            )
+        return features, masks
+
+
+class _LSTM(nn.Module):
+    """Single-layer LSTM over the time axis returning the full sequence."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        rnn = nn.RNN(nn.OptimizedLSTMCell(self.features))
+        return rnn(inputs)
+
+
+@META_TEXT_EMBEDDING.register()
+class LSTMTextEmbedding(nn.Module):
+    """Embed -> project -> dropout -> LSTM (text_embeddings.py:221-246)."""
+
+    config: Any
+    vocab: Any
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, train: bool = False):
+        masks = _token_masks(tokens, self.vocab.padding_idx)
+        if self.config.get("WORD_EMBEDDING") is not None and (
+            self.vocab.word_embeddings is not None
+        ):
+            pretrained = self.variable(
+                "frozen",
+                "embedding",
+                lambda: jnp.asarray(self.vocab.word_embeddings, jnp.float32),
+            )
+            embedded = jnp.take(pretrained.value, tokens, axis=0)
+        else:
+            table = self.param(
+                "embedding",
+                nn.initializers.normal(stddev=1.0),
+                (len(self.vocab), self.config.D_EMBEDDING),
+            )
+            table = table.at[self.vocab.padding_idx].set(0.0)
+            embedded = jnp.take(table, tokens, axis=0)
+        features = nn.Dense(self.config.D_MODEL, kernel_init=_xavier)(embedded)
+        features = nn.Dropout(rate=self.config.DROPOUT)(
+            features, deterministic=not train
+        )
+        features = _LSTM(self.config.D_MODEL)(features)
+        return features, masks
+
+
+def batch_embedding_lookup(
+    weights: jnp.ndarray, tokens: jnp.ndarray, padding_idx: int
+) -> jnp.ndarray:
+    """Per-sample embedding tables: weights (bs, n_rows, d), tokens (bs, L).
+    TPU-native equivalent of the reference's flattened-offset gather
+    (text_embeddings.py:145-163): one take_along_axis, no reshape tricks."""
+    gathered = jnp.take_along_axis(weights, tokens[..., None], axis=1)
+    not_pad = (tokens != padding_idx)[..., None].astype(gathered.dtype)
+    return gathered * not_pad
+
+
+@META_TEXT_EMBEDDING.register()
+class DynamicEmbedding(nn.Module):
+    """Fixed-vocab rows (learned) ⊕ per-sample OCR feature rows; token ids
+    >= len(vocab) index the OCR block (text_embeddings.py:135-177)."""
+
+    config: Any
+    vocab: Any
+
+    @nn.compact
+    def __call__(
+        self, tokens: jnp.ndarray, oov_features: jnp.ndarray, train: bool = False
+    ):
+        masks = _token_masks(tokens, self.vocab.padding_idx)
+        fixed = self.param(
+            "fixed_weights", _xavier, (len(self.vocab), self.config.D_MODEL)
+        )
+        bs = tokens.shape[0]
+        weights = jnp.concatenate(
+            [jnp.broadcast_to(fixed, (bs,) + fixed.shape), oov_features], axis=1
+        )
+        features = batch_embedding_lookup(weights, tokens, self.vocab.padding_idx)
+        return features, masks
+
+
+@META_TEXT_EMBEDDING.register()
+class FixedVocabDynamicEmbedding(nn.Module):
+    """DynamicEmbedding with caller-supplied fixed rows
+    (text_embeddings.py:179-219)."""
+
+    config: Any
+    vocab: Any
+
+    def __call__(
+        self,
+        tokens: jnp.ndarray,
+        oov_features: jnp.ndarray,
+        fixed_weights: jnp.ndarray,
+        train: bool = False,
+    ):
+        masks = _token_masks(tokens, self.vocab.padding_idx)
+        bs = tokens.shape[0]
+        weights = jnp.concatenate(
+            [jnp.broadcast_to(fixed_weights, (bs,) + fixed_weights.shape), oov_features],
+            axis=1,
+        )
+        features = batch_embedding_lookup(weights, tokens, self.vocab.padding_idx)
+        return features, masks
+
+
+@META_TEXT_EMBEDDING.register()
+class OcrWordEmbedding(nn.Module):
+    """Project per-batch OCR word vectors (text_embeddings.py:82-133).
+
+    The reference looks up FastText vectors *inside* the model; strings
+    cannot cross the jit boundary, so here the data pipeline provides
+    `ocr_fasttext_features` (bs, n_ocr, D_EMBEDDING) and this module is the
+    device-side projection."""
+
+    config: Any
+    vocab: Any
+
+    @nn.compact
+    def __call__(self, ocr_fasttext_features: jnp.ndarray, train: bool = False):
+        features = nn.Dense(self.config.D_MODEL, kernel_init=_xavier)(
+            ocr_fasttext_features
+        )
+        features = nn.Dropout(rate=self.config.DROPOUT)(
+            features, deterministic=not train
+        )
+        return features, None
+
+
+@META_TEXT_EMBEDDING.register()
+class HierarchicalFeaturesExtractor(nn.Module):
+    """n-gram Conv1d hierarchy over word embeddings
+    (text_embeddings.py:248-281): for each n in N_GRAMS a Conv over the time
+    axis; outputs concatenated along time."""
+
+    config: Any
+    vocab: Any
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, train: bool = False):
+        features, masks = UsualEmbedding(self.config, self.vocab)(tokens, train=train)
+        outputs = []
+        for ngram in self.config.N_GRAMS:
+            conv = nn.Conv(
+                features=self.config.D_MODEL,
+                kernel_size=(int(ngram),),
+                padding="VALID",
+                kernel_init=_xavier,
+            )
+            outputs.append(conv(features))
+        ngram_features = jnp.concatenate(outputs, axis=1)
+        return ngram_features, masks

@@ -1,0 +1,46 @@
+"""CLI entry point (parity: /root/reference/train.py:1-18).
+
+    python train.py --config-file configs/saaa.yaml [--opts KEY=VALUE ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from .builders import build_task, populate
+from .config import get_config
+from .logging_utils import setup_logger
+
+
+def _parse_opts(pairs):
+    """KEY.SUBKEY=value overrides (our addition; SURVEY.md §5.6)."""
+    import yaml
+
+    overrides = {}
+    for pair in pairs or []:
+        key, _, value = pair.partition("=")
+        node = overrides
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = yaml.safe_load(value)
+    return overrides
+
+
+def main(argv=None):
+    logger = setup_logger()
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config-file", type=str, required=True)
+    parser.add_argument("--opts", nargs="*", default=None)
+    args = parser.parse_args(argv)
+
+    populate()
+    config = get_config(args.config_file, _parse_opts(args.opts))
+    task = build_task(config)
+    task.start()
+    task.get_predictions()
+    logger.info("Task done.")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .base_task import BaseTask  # noqa: F401
+from .classification_task import ClassificationTask  # noqa: F401
+from .open_ended_task import OpenEndedTask, TrainingSAAATask  # noqa: F401

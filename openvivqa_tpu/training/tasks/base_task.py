@@ -1,0 +1,132 @@
+"""Base task: vocab caching, model/optimizer build, jitted steps, checkpoints.
+
+Parity: /root/reference/tasks/base_task.py:18-118 — same responsibilities,
+TPU-native execution: one jitted train_step with donated state, batch arrays
+sharded over the data mesh axis, parameters replicated.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from functools import partial
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...builders import build_model, build_vocab
+from ...logging_utils import setup_logger
+from ...parallel.mesh import get_mesh, replicate_spec, shard_batch_spec
+from ...utils.instance import Batch, collate
+from ..checkpoint import BEST_NAME, LAST_NAME, load_checkpoint, save_checkpoint
+from ..optim import make_optimizer, noam_schedule
+from ..train_state import TrainState, nll_loss
+
+logger = setup_logger()
+
+
+class BaseTask:
+    def __init__(self, config):
+        self.config = config
+        self.checkpoint_path = os.path.join(
+            config.TRAINING.CHECKPOINT_PATH, config.MODEL.NAME
+        )
+        os.makedirs(self.checkpoint_path, exist_ok=True)
+
+        vocab_bin = os.path.join(self.checkpoint_path, "vocab.bin")
+        if not os.path.isfile(vocab_bin):
+            logger.info("Creating vocab")
+            self.vocab = self.load_vocab(config.DATASET.VOCAB)
+            with open(vocab_bin, "wb") as handle:
+                pickle.dump(self.vocab, handle)
+        else:
+            logger.info("Loading vocab from %s", vocab_bin)
+            with open(vocab_bin, "rb") as handle:
+                self.vocab = pickle.load(handle)
+
+        logger.info("Loading data")
+        self.load_datasets(config.DATASET)
+        self.create_dataloaders(config)
+
+        logger.info("Building model")
+        self.model = build_model(config.MODEL, self.vocab)
+        self.mesh = get_mesh()
+        self.rng = jax.random.PRNGKey(int(config.TRAINING.get("SEED", 42)))
+
+        self.configuring_hyperparameters(config)
+        self.state = self._init_state()
+        self.epoch = 0
+
+    # -- hooks ---------------------------------------------------------------
+    def configuring_hyperparameters(self, config):
+        raise NotImplementedError
+
+    def load_vocab(self, config):
+        return build_vocab(config)
+
+    def load_datasets(self, config):
+        raise NotImplementedError
+
+    def create_dataloaders(self, config):
+        raise NotImplementedError
+
+    # -- setup ---------------------------------------------------------------
+    def lr_schedule(self):
+        return noam_schedule(
+            self.config.TRAINING.LEARNING_RATE,
+            self.config.MODEL.D_MODEL,
+            self.config.TRAINING.WARMUP,
+        )
+
+    def example_batch(self) -> Batch:
+        """One statically-shaped batch for model init (shapes only)."""
+        dataset = self.train_dataset
+        bs = min(2, len(dataset))
+        samples = [dataset[i] for i in range(bs)]
+        return collate(samples, batch_pad_to=bs)
+
+    def _init_state(self) -> TrainState:
+        batch = self.example_batch()
+        self.rng, init_rng = jax.random.split(self.rng)
+        variables = self.model.init(
+            {"params": init_rng, "dropout": init_rng}, batch.arrays(), train=False
+        )
+        params = variables["params"]
+        frozen = dict(variables.get("frozen", {}))
+        n_params = sum(p.size for p in jax.tree.leaves(params))
+        logger.info("Model parameters: %.2fM", n_params / 1e6)
+
+        tx = make_optimizer(self.lr_schedule())
+        state = TrainState.create(self.model.apply, params, frozen, tx)
+        return jax.device_put(state, replicate_spec(self.mesh))
+
+    def put_batch(self, batch: Batch) -> Dict[str, jnp.ndarray]:
+        spec = shard_batch_spec(self.mesh)
+        return {k: jax.device_put(v, spec) for k, v in batch.arrays().items()}
+
+    def next_dropout_rng(self):
+        self.rng, rng = jax.random.split(self.rng)
+        return rng
+
+    # -- checkpoints -----------------------------------------------------------
+    def save_checkpoint(self, extras: Dict[str, Any]) -> None:
+        metadata = {"epoch": self.epoch, **extras}
+        save_checkpoint(
+            os.path.join(self.checkpoint_path, LAST_NAME), self.state, metadata
+        )
+
+    def load_checkpoint(self, fname: str) -> Optional[Dict[str, Any]]:
+        result = load_checkpoint(fname, self.state)
+        if result is None:
+            return None
+        logger.info("Loaded checkpoint from %s", fname)
+        self.state = jax.device_put(result["state"], replicate_spec(self.mesh))
+        return result["metadata"]
+
+    def start(self):
+        raise NotImplementedError
+
+    def get_predictions(self):
+        raise NotImplementedError
