@@ -90,9 +90,12 @@ class BaseTask:
     def _init_state(self) -> TrainState:
         batch = self.example_batch()
         self.rng, init_rng = jax.random.split(self.rng)
-        variables = self.model.init(
-            {"params": init_rng, "dropout": init_rng}, batch.arrays(), train=False
+        # jit the init: eager flax init compiles every primitive separately
+        # (minutes even for tiny models); one jitted trace compiles once
+        init_fn = jax.jit(
+            lambda rngs, arrays: self.model.init(rngs, arrays, train=False)
         )
+        variables = init_fn({"params": init_rng, "dropout": init_rng}, batch.arrays())
         params = variables["params"]
         frozen = dict(variables.get("frozen", {}))
         n_params = sum(p.size for p in jax.tree.leaves(params))

@@ -53,6 +53,12 @@ def install_stubs():
     pt.modeling_bert = pt_bert
     sys.modules["pytorch_transformers"] = pt
     sys.modules["pytorch_transformers.modeling_bert"] = pt_bert
+
+    # the reference's evaluation.utils is missing from the checkout
+    # (meteor.py:8 imports it); pre-register a stub so import succeeds
+    eval_utils = types.ModuleType("evaluation.utils")
+    eval_utils.download_from_url = lambda *a, **k: None
+    sys.modules["evaluation.utils"] = eval_utils
     return CfgNode
 
 
