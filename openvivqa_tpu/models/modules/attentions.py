@@ -251,6 +251,44 @@ class AdaptiveScaledDotProductAttention(nn.Module, _ProjectionMixin):
         return self.fc_o(_merge_heads(out))
 
 
+class _DecodeKVCache(nn.Module):
+    """Static-shape decode cache: ring-writes the step's projected K/V and
+    the step's padding bias, returns the full buffers plus a bias that masks
+    future positions.  (flax variables must be created in a compact method,
+    hence this submodule.)"""
+
+    @nn.compact
+    def __call__(self, k_new, v_new, step_bias, max_len: int):
+        bs, h, _, d_k = k_new.shape
+        d_v = v_new.shape[-1]
+        cached_k = self.variable(
+            "cache", "key", lambda: jnp.zeros((bs, h, max_len, d_k), jnp.float32)
+        )
+        cached_v = self.variable(
+            "cache", "value", lambda: jnp.zeros((bs, h, max_len, d_v), jnp.float32)
+        )
+        cached_bias = self.variable(
+            "cache", "bias", lambda: jnp.zeros((bs, 1, 1, max_len), jnp.float32)
+        )
+        index = self.variable("cache", "index", lambda: jnp.zeros((), jnp.int32))
+
+        i = index.value
+        cached_k.value = jax.lax.dynamic_update_slice(
+            cached_k.value, k_new, (0, 0, i, 0)
+        )
+        cached_v.value = jax.lax.dynamic_update_slice(
+            cached_v.value, v_new, (0, 0, i, 0)
+        )
+        cached_bias.value = jax.lax.dynamic_update_slice(
+            cached_bias.value, step_bias, (0, 0, 0, i)
+        )
+        index.value = i + 1
+
+        positions = jnp.arange(max_len)
+        future = jnp.where(positions > i, MASK_VALUE, 0.0)[None, None, None, :]
+        return cached_k.value, cached_v.value, cached_bias.value + future
+
+
 class MultiHeadAttention(nn.Module):
     """Attention core + dropout + post-LN residual + optional AoA gates +
     decode-time K/V cache (attentions.py:293-338 parity)."""
@@ -268,6 +306,8 @@ class MultiHeadAttention(nn.Module):
         self.dropout = nn.Dropout(rate=self.config.DROPOUT)
         self.layer_norm = nn.LayerNorm()
         self.can_be_stateful = self.config.CAN_BE_STATEFUL
+        if self.can_be_stateful:
+            self.kv_cache = _DecodeKVCache()
 
     def __call__(
         self,
@@ -323,42 +363,11 @@ class MultiHeadAttention(nn.Module):
         bs = queries.shape[0]
 
         k_new, v_new = core.project_kv(keys, values)  # (bs,h,1,dk/dv)
-        cached_k = self.variable(
-            "cache", "key",
-            lambda: jnp.zeros((bs, core.h, max_decode_len, core.d_k), jnp.float32),
-        )
-        cached_v = self.variable(
-            "cache", "value",
-            lambda: jnp.zeros((bs, core.h, max_decode_len, core.d_v), jnp.float32),
-        )
-        cached_bias = self.variable(
-            "cache", "bias",
-            lambda: jnp.zeros((bs, 1, 1, max_decode_len), jnp.float32),
-        )
-        index = self.variable("cache", "index", lambda: jnp.zeros((), jnp.int32))
-
-        i = index.value
-        cached_k.value = jax.lax.dynamic_update_slice(
-            cached_k.value, k_new, (0, 0, i, 0)
-        )
-        cached_v.value = jax.lax.dynamic_update_slice(
-            cached_v.value, v_new, (0, 0, i, 0)
-        )
         step_bias = (
             attention_bias
             if attention_bias is not None
             else jnp.zeros((bs, 1, 1, 1), jnp.float32)
         )
-        cached_bias.value = jax.lax.dynamic_update_slice(
-            cached_bias.value, step_bias, (0, 0, 0, i)
-        )
-        index.value = i + 1
-
-        # future positions (> i) masked out; past positions carry their
-        # recorded padding bias
-        positions = jnp.arange(max_decode_len)
-        future = jnp.where(positions > i, MASK_VALUE, 0.0)[None, None, None, :]
-        bias = cached_bias.value + future
-
+        k_all, v_all, bias = self.kv_cache(k_new, v_new, step_bias, max_decode_len)
         q = core.project_q(queries)
-        return core.attend(q, cached_k.value, cached_v.value, bias)
+        return core.attend(q, k_all, v_all, bias)

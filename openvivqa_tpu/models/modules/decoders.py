@@ -23,6 +23,18 @@ from .masks import causal_bias, combine_biases, padding_bias, sinusoid_encoding_
 _xavier = nn.initializers.xavier_uniform()
 
 
+class _PositionCounter(nn.Module):
+    """Scalar decode-step counter in the 'cache' collection (flax variables
+    must be created in a compact method)."""
+
+    @nn.compact
+    def __call__(self):
+        var = self.variable("cache", "pos", lambda: jnp.zeros((), jnp.int32))
+        t = var.value
+        var.value = t + 1
+        return t
+
+
 class DecoderLayer(nn.Module):
     """Masked self-attn + cross-attn + FFN (decoders.py:13-31 parity)."""
 
@@ -79,6 +91,7 @@ class Decoder(nn.Module):
             for i in range(self.config.LAYERS)
         ]
         self.fc = nn.Dense(len(self.vocab), use_bias=False, kernel_init=_xavier)
+        self.pos_counter = _PositionCounter()
 
     def __call__(
         self,
@@ -116,9 +129,7 @@ class Decoder(nn.Module):
         """Single-token decode (token: (bs, 1)); mutates the 'cache'
         collection.  Position counting matches the reference's running_seq
         (decoders.py:652-654: position = t+1 unconditionally)."""
-        pos_var = self.variable("cache", "pos", lambda: jnp.zeros((), jnp.int32))
-        t = pos_var.value
-        pos_var.value = t + 1
+        t = self.pos_counter()
 
         pad_bias = padding_bias(token, self.padding_idx)  # (bs,1,1,1)
         embedded, _ = self.word_emb(token)

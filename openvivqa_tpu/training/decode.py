@@ -33,6 +33,8 @@ def _gather_beams(tree, selected_beam: jnp.ndarray, bs: int, beam: int):
     """Reorder every (bs*beam, ...) leaf by the per-batch beam indices."""
 
     def gather(leaf):
+        if leaf.ndim == 0 or leaf.shape[0] != bs * beam:
+            return leaf  # scalar counters (cache index/pos) are beam-invariant
         shaped = leaf.reshape((bs, beam) + leaf.shape[1:])
         idx = selected_beam.reshape((bs, beam) + (1,) * (leaf.ndim - 1))
         idx = jnp.broadcast_to(idx, (bs, beam) + leaf.shape[1:])

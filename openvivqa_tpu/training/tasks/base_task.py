@@ -106,8 +106,15 @@ class BaseTask:
         return jax.device_put(state, replicate_spec(self.mesh))
 
     def put_batch(self, batch: Batch) -> Dict[str, jnp.ndarray]:
-        spec = shard_batch_spec(self.mesh)
-        return {k: jax.device_put(v, spec) for k, v in batch.arrays().items()}
+        arrays = batch.arrays()
+        bs = next(iter(arrays.values())).shape[0] if arrays else 0
+        if bs % max(self.mesh.size, 1) == 0:
+            spec = shard_batch_spec(self.mesh)
+        else:
+            # batch not divisible by the data axis (tiny eval batches):
+            # replicate rather than fail; XLA still partitions the compute
+            spec = replicate_spec(self.mesh)
+        return {k: jax.device_put(v, spec) for k, v in arrays.items()}
 
     def next_dropout_rng(self):
         self.rng, rng = jax.random.split(self.rng)

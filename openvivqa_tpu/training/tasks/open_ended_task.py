@@ -88,9 +88,14 @@ class OpenEndedTask(BaseTask):
             self.test_dataset, batch_size=fd.BATCH_SIZE, shuffle=False,
             num_workers=workers, seed=seed,
         )
-        # beam memory scales with beam size (open_ended_task.py:72-89)
-        train_dict_bs = max(1, dd.BATCH_SIZE // self.training_beam_size)
-        eval_dict_bs = max(1, dd.BATCH_SIZE // self.evaluating_beam_size)
+        # beam memory scales with beam size (open_ended_task.py:72-89);
+        # hyperparameters are configured after dataloaders, so read config
+        train_dict_bs = max(
+            1, dd.BATCH_SIZE // config.TRAINING.TRAINING_BEAM_SIZE
+        )
+        eval_dict_bs = max(
+            1, dd.BATCH_SIZE // config.TRAINING.EVALUATING_BEAM_SIZE
+        )
         self.train_dict_dataloader = DataLoader(
             self.train_dict_dataset, batch_size=train_dict_bs, shuffle=True,
             num_workers=workers, seed=seed,
@@ -241,15 +246,23 @@ class OpenEndedTask(BaseTask):
             outs, _ = run(self.state.variables(), device_batch)
             outs_np = np.asarray(outs)
             bs = outs_np.shape[0]
-            answers_gen = self._decode_batch(outs_np)
+            valid = np.asarray(batch["sample_valid"])
+            n_real = int(valid.sum())
+            answers_gen = self._decode_batch(outs_np[:n_real])
             answers_gt = list(
                 itertools.chain(*([a] * beam for a in batch["answers"]))
             )
             gens = {f"{i}": [g] for i, g in enumerate(answers_gen)}
             gts = {f"{i}": gt for i, gt in enumerate(answers_gt)}
-            reward = self.train_cider.compute_score(gts, gens)[1].astype(np.float32)
-            reward = reward.reshape(bs, beam)
-            advantages = jnp.asarray(reward - reward.mean(-1, keepdims=True))
+            reward = np.zeros((bs, beam), np.float32)
+            reward[:n_real] = (
+                self.train_cider.compute_score(gts, gens)[1]
+                .astype(np.float32)
+                .reshape(n_real, beam)
+            )
+            advantages = jnp.asarray(
+                (reward - reward.mean(-1, keepdims=True)) * valid[:, None]
+            )
             self.state, loss = self._scst_jit(
                 self.state, device_batch, advantages, jnp.asarray(outs_np)
             )
