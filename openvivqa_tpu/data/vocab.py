@@ -47,12 +47,7 @@ class Vocab:
 
         min_freq = max(config.MIN_FREQ, 1)
 
-        specials = [
-            self.padding_token,
-            self.bos_token,
-            self.eos_token,
-            self.unk_token,
-        ]
+        specials = self.special_tokens()
         itos = list(specials)
         for tok in specials:
             del counter[tok]
@@ -73,12 +68,25 @@ class Vocab:
         self.bos_idx = self.stoi[self.bos_token]
         self.eos_idx = self.stoi[self.eos_token]
         self.unk_idx = self.stoi[self.unk_token]
+        self.register_special_indices()
 
         self.word_embeddings = None
         if config.get("WORD_EMBEDDING") is not None:
             from ..builders import build_word_embedding
 
             self.load_word_embeddings(build_word_embedding(config))
+
+    # -- hooks for subclasses --------------------------------------------------
+    def special_tokens(self) -> List[str]:
+        return [
+            self.padding_token,
+            self.bos_token,
+            self.eos_token,
+            self.unk_token,
+        ]
+
+    def register_special_indices(self) -> None:
+        """Subclasses resolve their extra special-token indices here."""
 
     # -- construction --------------------------------------------------------
     def make_vocab(self, json_paths: Sequence[str]) -> None:

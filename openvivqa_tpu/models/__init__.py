@@ -2,3 +2,10 @@ from . import modules  # noqa: F401  (registers attention/encoder/decoder/embedd
 from . import saaa  # noqa: F401
 from . import mcan  # noqa: F401
 from . import iterative_mcan  # noqa: F401
+from . import iterative_saaa  # noqa: F401
+from . import vanilla_transformer  # noqa: F401
+from . import parallel_attention_transformer  # noqa: F401
+from . import cross_modality_transformer  # noqa: F401
+from . import hierarchical_co_attention  # noqa: F401
+from . import joint_transformer  # noqa: F401
+from . import unique_transformer  # noqa: F401
