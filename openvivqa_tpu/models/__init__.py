@@ -9,3 +9,7 @@ from . import cross_modality_transformer  # noqa: F401
 from . import hierarchical_co_attention  # noqa: F401
 from . import joint_transformer  # noqa: F401
 from . import unique_transformer  # noqa: F401
+from . import iterative_m4c  # noqa: F401
+from . import mmf_m4c  # noqa: F401
+from . import mmf_variants  # noqa: F401
+from . import mmf_lorra  # noqa: F401

@@ -1,0 +1,226 @@
+"""Shared components of the M4C family (MMF ports).
+
+Parity targets in /root/reference/models/mmf_m4c.py: TextBert (:258-280),
+object/OCR encodings (:143-200), OcrPtrNet (:367-396), PrevPredEmbeddings
+(:399-445), _batch_gather (:447-459), and the greedy full-re-encode decode
+loop (:236-256) — here a `lax.scan` with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .modules.bert import LN_EPS, BertEmbeddings, BertEncoderStack
+from .modules.masks import causal_bias, padding_bias
+
+_normal = nn.initializers.normal(stddev=0.02)
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """torch.nn.functional.normalize parity."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+class TextBert(nn.Module):
+    """Question encoder: BertEmbeddings + BertEncoder over our vocab ids
+    (mmf_m4c.py:258-280).  LOAD_PRETRAINED weight conversion is handled by
+    the checkpoint tooling; the architecture is identical either way."""
+
+    config: Any  # TEXT_BERT node
+    num_heads: int
+    vocab_size: int
+
+    @nn.compact
+    def __call__(
+        self, token_ids: jnp.ndarray, attention_bias, train: bool = False
+    ) -> jnp.ndarray:
+        hidden = self.config.HIDDEN_SIZE
+        embeddings = BertEmbeddings(
+            vocab_size=max(self.vocab_size, 30522), hidden_size=hidden
+        )(token_ids, train=train)
+        return BertEncoderStack(
+            hidden_size=hidden,
+            num_layers=self.config.NUM_HIDDEN_LAYERS,
+            num_heads=self.num_heads,
+        )(embeddings, attention_bias=attention_bias, train=train)
+
+
+class FeatureBoxEncoding(nn.Module):
+    """LN(W·feat) + LN(W·bbox) -> dropout (obj/ocr encodings,
+    mmf_m4c.py:143-200)."""
+
+    hidden_size: int
+    dropout: float
+
+    @nn.compact
+    def __call__(
+        self, features: jnp.ndarray, boxes: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        out = nn.LayerNorm(epsilon=LN_EPS)(
+            nn.Dense(self.hidden_size, kernel_init=_normal)(features)
+        ) + nn.LayerNorm(epsilon=LN_EPS)(
+            nn.Dense(self.hidden_size, kernel_init=_normal)(boxes)
+        )
+        return nn.Dropout(rate=self.dropout)(out, deterministic=not train)
+
+
+class OcrPtrNet(nn.Module):
+    """Pointer scores QK^T/sqrt(d) + additive OCR mask
+    (mmf_m4c.py:367-396)."""
+
+    hidden_size: int
+    query_key_size: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        query_inputs: jnp.ndarray,
+        key_inputs: jnp.ndarray,
+        attention_bias: jnp.ndarray,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        qk = self.query_key_size or self.hidden_size
+        q = nn.Dense(qk, kernel_init=_normal)(query_inputs)  # (bs, L_dec, qk)
+        k = nn.Dense(qk, kernel_init=_normal)(key_inputs)  # (bs, K, qk)
+        scores = jnp.einsum(
+            "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(float(qk))
+        # attention_bias: (bs, 1, 1, K) additive
+        return scores + attention_bias[:, 0]
+
+
+def batch_gather(x: jnp.ndarray, inds: jnp.ndarray) -> jnp.ndarray:
+    """Per-row gather: x (bs, N, d), inds (bs, L) -> (bs, L, d)
+    (mmf_m4c.py:447-459 parity, as one take_along_axis)."""
+    return jnp.take_along_axis(x, inds[..., None], axis=1)
+
+
+class PrevPredEmbeddings(nn.Module):
+    """Decode-step embeddings: gather from [LN(fixed vocab emb) ⊕ LN(ocr
+    emb)] + learned position + type embeddings (mmf_m4c.py:399-445)."""
+
+    hidden_size: int
+    dropout: float = 0.1
+    max_dec_length: int = 100
+    max_type_num: int = 5
+
+    @nn.compact
+    def __call__(
+        self,
+        ans_emb: jnp.ndarray,  # (num_vocab, h)
+        ocr_emb: jnp.ndarray,  # (bs, K, h)
+        prev_inds: jnp.ndarray,  # (bs, L)
+        train: bool = False,
+    ) -> jnp.ndarray:
+        bs, seq_length = prev_inds.shape
+        ans_num = ans_emb.shape[0]
+
+        ans_emb = nn.LayerNorm(epsilon=LN_EPS)(ans_emb)
+        ocr_emb = nn.LayerNorm(epsilon=LN_EPS)(ocr_emb)
+        table = jnp.concatenate(
+            [jnp.broadcast_to(ans_emb, (bs,) + ans_emb.shape), ocr_emb], axis=1
+        )
+        raw_dec_emb = batch_gather(table, prev_inds)
+
+        positions = nn.Embed(
+            self.max_dec_length, self.hidden_size, embedding_init=_normal
+        )(jnp.arange(seq_length)[None, :])
+        token_types = nn.Embed(
+            self.max_type_num, self.hidden_size, embedding_init=_normal
+        )((prev_inds >= ans_num).astype(jnp.int32))
+        extra = nn.LayerNorm(epsilon=LN_EPS)(positions + token_types)
+        extra = nn.Dropout(rate=self.dropout)(extra, deterministic=not train)
+        return raw_dec_emb + extra
+
+
+class MMT(nn.Module):
+    """Joint multimodal transformer over [txt, obj, ocr, dec] with the
+    prefix-LM + causal-decoder mask (mmf_m4c.py:282-364)."""
+
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+
+    def setup(self):
+        self.prev_pred_embeddings = PrevPredEmbeddings(self.hidden_size)
+        self.encoder = BertEncoderStack(
+            hidden_size=self.hidden_size,
+            num_layers=self.num_layers,
+            num_heads=self.num_heads,
+        )
+
+    def __call__(
+        self,
+        txt_emb, txt_bias,
+        obj_emb, obj_bias,
+        ocr_emb, ocr_bias,
+        fixed_ans_emb, prev_inds,
+        pre_ocr_streams=(),  # (emb, bias) pairs between obj and ocr
+        extra_streams=(),  # (emb, bias) pairs between ocr and dec
+        train: bool = False,
+        return_all: bool = False,
+    ):
+        dec_emb = self.prev_pred_embeddings(
+            fixed_ans_emb, ocr_emb, prev_inds, train=train
+        )
+        dec_len = dec_emb.shape[1]
+        dec_bias = jnp.zeros((dec_emb.shape[0], 1, 1, dec_len), jnp.float32)
+
+        streams = [
+            (txt_emb, txt_bias), (obj_emb, obj_bias), *pre_ocr_streams,
+            (ocr_emb, ocr_bias), *extra_streams, (dec_emb, dec_bias),
+        ]
+        inputs = jnp.concatenate([s[0] for s in streams], axis=1)
+        col_bias = jnp.concatenate([s[1] for s in streams], axis=-1)
+
+        total = inputs.shape[1]
+        extended = jnp.broadcast_to(
+            col_bias, col_bias.shape[:2] + (total, total)
+        )
+        dec_block = jnp.broadcast_to(
+            causal_bias(dec_len), (extended.shape[0], 1, dec_len, dec_len)
+        )
+        extended = extended.at[:, :, -dec_len:, -dec_len:].set(dec_block)
+
+        encoded = self.encoder(
+            inputs, attention_bias=extended, train=train, return_all=return_all
+        )
+        if return_all:
+            encoded, all_states = encoded
+        txt_len = txt_emb.shape[1]
+        obj_len = obj_emb.shape[1]
+        pre_len = sum(s[0].shape[1] for s in pre_ocr_streams)
+        ocr_begin = txt_len + obj_len + pre_len
+        ocr_end = ocr_begin + ocr_emb.shape[1]
+        results = {
+            "mmt_seq_output": encoded,
+            "mmt_txt_output": encoded[:, :txt_len],
+            "mmt_ocr_output": encoded[:, ocr_begin:ocr_end],
+            "mmt_dec_output": encoded[:, -dec_len:],
+        }
+        if return_all:
+            results["all_hidden_states"] = all_states
+        return results
+
+
+def ocr_joint_features(batch, normalize: bool = True) -> jnp.ndarray:
+    """[fasttext, rec, det] concat (mmf_m4c.py:168-186 ordering)."""
+    fasttext = batch["ocr_fasttext_features"]
+    rec = batch["ocr_rec_features"]
+    det = batch["ocr_det_features"]
+    if normalize:
+        fasttext = l2_normalize(fasttext)
+        rec = l2_normalize(rec)
+        det = l2_normalize(det)
+    return jnp.concatenate([fasttext, rec, det], axis=-1)
+
+
+def ocr_padding_bias(batch) -> jnp.ndarray:
+    """Padding bias computed on the *concatenated* OCR features like the
+    reference (mmf_m4c.py:188-200)."""
+    return padding_bias(ocr_joint_features(batch, normalize=False), padding_idx=0)

@@ -1,0 +1,170 @@
+"""BERT-style transformer stack (flax.linen).
+
+TPU-native equivalent of the HuggingFace BertEmbeddings/BertEncoder modules
+the reference's MMF-ported models build on (mmf_m4c.py:7-12,258-364).
+Post-LN layers with GELU intermediates (HF semantics: LN eps 1e-12,
+intermediate = 4*hidden unless overridden), additive attention masks
+(0 / -10e4 pre-softmax), optional cross-attention, and optional
+all-hidden-states output (needed by MMF_Iterative_Multilevel_M4C).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+LN_EPS = 1e-12
+_normal = nn.initializers.normal(stddev=0.02)
+
+
+class BertSelfAttention(nn.Module):
+    hidden_size: int
+    num_heads: int
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        kv_states: Optional[jnp.ndarray] = None,
+        attention_bias: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        kv = hidden_states if kv_states is None else kv_states
+        head_dim = self.hidden_size // self.num_heads
+
+        def heads(x):
+            return x.reshape(x.shape[0], x.shape[1], self.num_heads, head_dim)
+
+        q = heads(nn.Dense(self.hidden_size, kernel_init=_normal)(hidden_states))
+        k = heads(nn.Dense(self.hidden_size, kernel_init=_normal)(kv))
+        v = heads(nn.Dense(self.hidden_size, kernel_init=_normal)(kv))
+
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(float(head_dim))
+        if attention_bias is not None:
+            logits = logits + attention_bias
+        weights = jax.nn.softmax(logits, axis=-1)
+        weights = nn.Dropout(rate=self.dropout)(weights, deterministic=not train)
+        context = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        context = context.reshape(
+            context.shape[0], context.shape[1], self.hidden_size
+        )
+
+        out = nn.Dense(self.hidden_size, kernel_init=_normal)(context)
+        out = nn.Dropout(rate=self.dropout)(out, deterministic=not train)
+        return nn.LayerNorm(epsilon=LN_EPS)(hidden_states + out)
+
+
+class BertLayer(nn.Module):
+    hidden_size: int
+    num_heads: int
+    intermediate_size: Optional[int] = None
+    dropout: float = 0.1
+    cross_attention: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray] = None,
+        encoder_states: Optional[jnp.ndarray] = None,
+        encoder_bias: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        attn = BertSelfAttention(self.hidden_size, self.num_heads, self.dropout)
+        hidden_states = attn(
+            hidden_states, attention_bias=attention_bias, train=train
+        )
+        if self.cross_attention:
+            cross = BertSelfAttention(self.hidden_size, self.num_heads, self.dropout)
+            hidden_states = cross(
+                hidden_states,
+                kv_states=encoder_states,
+                attention_bias=encoder_bias,
+                train=train,
+            )
+        intermediate_size = self.intermediate_size or 4 * self.hidden_size
+        intermediate = jax.nn.gelu(
+            nn.Dense(intermediate_size, kernel_init=_normal)(hidden_states),
+            approximate=False,
+        )
+        out = nn.Dense(self.hidden_size, kernel_init=_normal)(intermediate)
+        out = nn.Dropout(rate=self.dropout)(out, deterministic=not train)
+        return nn.LayerNorm(epsilon=LN_EPS)(hidden_states + out)
+
+
+class BertEncoderStack(nn.Module):
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    intermediate_size: Optional[int] = None
+    dropout: float = 0.1
+    cross_attention: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray] = None,
+        encoder_states: Optional[jnp.ndarray] = None,
+        encoder_bias: Optional[jnp.ndarray] = None,
+        train: bool = False,
+        return_all: bool = False,
+    ):
+        all_states: List[jnp.ndarray] = []
+        for i in range(self.num_layers):
+            hidden_states = BertLayer(
+                self.hidden_size,
+                self.num_heads,
+                self.intermediate_size,
+                self.dropout,
+                self.cross_attention,
+                name=f"layer_{i}",
+            )(
+                hidden_states,
+                attention_bias=attention_bias,
+                encoder_states=encoder_states,
+                encoder_bias=encoder_bias,
+                train=train,
+            )
+            all_states.append(hidden_states)
+        if return_all:
+            return hidden_states, all_states
+        return hidden_states
+
+
+class BertEmbeddings(nn.Module):
+    """Word + learned position (+ token type) embeddings, LN, dropout."""
+
+    vocab_size: int
+    hidden_size: int
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self,
+        token_ids: jnp.ndarray,
+        token_type_ids: Optional[jnp.ndarray] = None,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        seq_len = token_ids.shape[1]
+        words = nn.Embed(self.vocab_size, self.hidden_size, embedding_init=_normal)(
+            token_ids
+        )
+        positions = nn.Embed(
+            self.max_position_embeddings, self.hidden_size, embedding_init=_normal
+        )(jnp.arange(seq_len)[None, :])
+        if token_type_ids is None:
+            token_type_ids = jnp.zeros_like(token_ids)
+        types = nn.Embed(
+            self.type_vocab_size, self.hidden_size, embedding_init=_normal
+        )(token_type_ids)
+        out = nn.LayerNorm(epsilon=LN_EPS)(words + positions + types)
+        return nn.Dropout(rate=self.dropout)(out, deterministic=not train)

@@ -53,6 +53,25 @@ def combine_biases(*biases: Optional[jnp.ndarray]) -> Optional[jnp.ndarray]:
     return masked.astype(jnp.float32) * MASK_VALUE
 
 
+def prefix_lm_bias(
+    prefix_bias: jnp.ndarray,
+    answer_col_bias: jnp.ndarray,
+    answer_block_bias: jnp.ndarray,
+) -> jnp.ndarray:
+    """(bs,1,L,L) additive bias for single-stream prefix-LM models
+    (base_unique_transformer.py:29-40 layout): every row attends columns by
+    their padding bias; the answer x answer block is the causal+padding
+    block."""
+    cols = jnp.concatenate([prefix_bias, answer_col_bias], axis=-1)
+    total = cols.shape[-1]
+    ans_len = answer_col_bias.shape[-1]
+    full = jnp.broadcast_to(cols, cols.shape[:2] + (total, total))
+    block = jnp.broadcast_to(
+        answer_block_bias, answer_block_bias.shape[:2] + (ans_len, ans_len)
+    )
+    return full.at[:, :, -ans_len:, -ans_len:].set(block)
+
+
 def sinusoid_encoding_table(
     max_len: int, d_model: int, padding_idx: Optional[int] = None
 ) -> np.ndarray:

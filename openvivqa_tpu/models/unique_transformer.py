@@ -26,7 +26,13 @@ from ..builders import (
 )
 from .base import BatchArrays, GenerativeModel
 from .joint_transformer import ModalityStreams
-from .modules.masks import MASK_VALUE, causal_bias, combine_biases, padding_bias
+from .modules.masks import (
+    MASK_VALUE,
+    causal_bias,
+    combine_biases,
+    padding_bias,
+    prefix_lm_bias,
+)
 
 _xavier = nn.initializers.xavier_uniform()
 
@@ -66,20 +72,6 @@ class UniqueTransformer(GenerativeModel):
         self.fc = nn.Dense(len(self.vocab), use_bias=False, kernel_init=_xavier)
         self.token_buffer = _TokenBuffer(self.vocab.max_answer_length)
 
-    def _joint_bias_matrix(self, joint_bias, answer_col_bias, answer_block_bias):
-        """(bs,1,L,L) additive bias: all rows see columns by padding; the
-        answer x answer block is replaced by the causal+padding block
-        (base_unique_transformer.py:29-40 layout)."""
-        cols = jnp.concatenate([joint_bias, answer_col_bias], axis=-1)
-        total = cols.shape[-1]
-        ans_len = answer_col_bias.shape[-1]
-        full = jnp.broadcast_to(cols, cols.shape[:2] + (total, total))
-        block = jnp.broadcast_to(
-            answer_block_bias,
-            answer_block_bias.shape[:2] + (ans_len, ans_len),
-        )
-        return full.at[:, :, -ans_len:, -ans_len:].set(block)
-
     def encode(self, batch: BatchArrays, train: bool = False):
         # pre-encoder joint prefix; the encoder itself runs with the answers
         return self.streams(batch, train=train)
@@ -97,7 +89,7 @@ class UniqueTransformer(GenerativeModel):
         )
 
         features = jnp.concatenate([joint, answer_features], axis=1)
-        bias = self._joint_bias_matrix(joint_bias, answer_pad, answer_block)
+        bias = prefix_lm_bias(joint_bias, answer_pad, answer_block)
         out = self.encoder(features, bias, train=train)
         out = self.fc(out[:, joint_len:])
         return jax.nn.log_softmax(out, axis=-1)
@@ -116,9 +108,7 @@ class UniqueTransformer(GenerativeModel):
         answer_block = combine_biases(answer_col, causal_bias(max_len))
 
         features = jnp.concatenate([encoder_features, answer_features], axis=1)
-        bias = self._joint_bias_matrix(
-            encoder_attention_bias, answer_col, answer_block
-        )
+        bias = prefix_lm_bias(encoder_attention_bias, answer_col, answer_block)
         out = self.encoder(features, bias)
         current = jax.lax.dynamic_slice_in_dim(out, joint_len + i, 1, axis=1)
         return jax.nn.log_softmax(self.fc(current), axis=-1)

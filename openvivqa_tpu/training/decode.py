@@ -185,9 +185,13 @@ def generate(
     encoder_features, encoder_bias = model.apply(
         variables, batch, method=model.encode
     )
-    enc_b = jnp.repeat(encoder_features, beam_size, axis=0)
+    # encoder state may be any pytree (e.g. dict of streams); expand every
+    # leaf to bs*beam rows
+    enc_b = jax.tree.map(
+        lambda x: jnp.repeat(x, beam_size, axis=0), encoder_features
+    )
     bias_b = (
-        jnp.repeat(encoder_bias, beam_size, axis=0)
+        jax.tree.map(lambda x: jnp.repeat(x, beam_size, axis=0), encoder_bias)
         if encoder_bias is not None
         else None
     )

@@ -1,0 +1,380 @@
+"""OCR / M4C-family tasks.
+
+Parity targets:
+* OcrOpenEndedTask — tasks/ocr_open_ended_task.py:17-131: OpenEndedTask with
+  OCR-copy decoding (decode_answer(outs, ocr_tokens)).
+* TrainingM4C — tasks/training_m4c_task.py:17-185: greedy inference via the
+  model instead of beam search.
+* TrainingMMF — tasks/training_mmf_task.py:39-215: model returns a
+  {"scores"} dict, loss on log_softmax(scores); prediction path uses
+  decode_answer_with_determination (:187).
+* MmfClassificationTask — tasks/mmf_classification_task.py:33-240: LoRRA
+  classification over fixed vocab + OCR choices, BCEWithLogitsLoss on
+  one-hot targets.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+import time
+from shutil import copyfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...builders import META_TASK, build_dataset
+from ...data.loader import DataLoader
+from ...evaluation import compute_scores
+from ...logging_utils import setup_logger
+from ..checkpoint import BEST_NAME, LAST_NAME
+from ..optim import constant_lambda_schedule
+from ..train_state import nll_loss
+from .base_task import BaseTask
+from .open_ended_task import OpenEndedTask
+
+logger = setup_logger()
+
+
+@META_TASK.register()
+class OcrOpenEndedTask(OpenEndedTask):
+    """Generative VQA with OCR copying: answers decode against the
+    per-sample OCR tables (ocr_open_ended_task.py:33-34)."""
+
+    def _decode_batch(self, outs: np.ndarray, batch=None):
+        ocr_tokens = batch["ocr_tokens"] if batch is not None else []
+        n = outs.reshape(-1, self.vocab.max_answer_length).shape[0]
+        if len(ocr_tokens) < n:  # batch-dim padding rows reuse the last table
+            ocr_tokens = list(ocr_tokens) + [ocr_tokens[-1]] * (n - len(ocr_tokens))
+        token_lists = self.vocab.decode_answer(
+            outs.reshape(-1, self.vocab.max_answer_length),
+            ocr_tokens,
+            join_words=False,
+        )
+        return [
+            " ".join(k for k, _ in itertools.groupby(tokens))
+            for tokens in token_lists
+        ]
+
+
+class _GreedyMMFMixin:
+    """Shared greedy-decode plumbing for the MMF/M4C dict-result models."""
+
+    def _mmf_compiled(self):
+        if not hasattr(self, "_greedy_jit"):
+            model = self.model
+
+            def greedy(variables, batch):
+                return model.apply(variables, batch, method=model.greedy_decode)
+
+            self._greedy_jit = jax.jit(greedy)
+        return self._greedy_jit
+
+    def _decode_scores(self, scores: np.ndarray, batch) -> list:
+        ids = np.argmax(scores, axis=-1)
+        return self._decode_batch(ids, batch)
+
+
+@META_TASK.register()
+class TrainingMMF(_GreedyMMFMixin, OcrOpenEndedTask):
+    """MMF-ported M4C training (training_mmf_task.py:39-215)."""
+
+    def _train_step(self, state, batch, dropout_rng):
+        padding_idx = self.vocab.padding_idx
+
+        def loss_fn(params):
+            results = state.apply_fn(
+                {"params": params, **({"frozen": state.frozen} if state.frozen else {})},
+                batch,
+                train=True,
+                rngs={"dropout": dropout_rng},
+            )
+            out = jax.nn.log_softmax(results["scores"], axis=-1)
+            targets = batch["shifted_right_answer_tokens"]
+            weights = jnp.broadcast_to(
+                batch["sample_valid"][:, None], targets.shape
+            ).astype(out.dtype)
+            return nll_loss(
+                out.reshape(-1, out.shape[-1]),
+                targets.reshape(-1),
+                padding_idx,
+                weights=weights.reshape(-1),
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    def evaluate_metrics(self, dataloader) -> dict:
+        greedy = self._mmf_compiled()
+        gens, gts = {}, {}
+        for it, batch in enumerate(dataloader):
+            results = greedy(self.state.variables(), self.put_batch(batch))
+            answers_gen = self._decode_scores(np.asarray(results["scores"]), batch)
+            for i, (gts_i, gen_i) in enumerate(zip(batch["answers"], answers_gen)):
+                if not batch["sample_valid"][i]:
+                    continue
+                gens[f"{it}_{i}"] = [gen_i]
+                gts[f"{it}_{i}"] = gts_i
+        scores, _ = compute_scores(gts, gens)
+        return scores
+
+    def train_scst(self):
+        raise NotImplementedError(
+            "SCST applies to beam-searchable models, not the greedy MMF path"
+        )
+
+    def get_predictions(self):
+        best = os.path.join(self.checkpoint_path, BEST_NAME)
+        if not os.path.isfile(best):
+            raise FileNotFoundError(
+                f"no best_model checkpoint in {self.checkpoint_path}"
+            )
+        self.load_checkpoint(best)
+
+        greedy = self._mmf_compiled()
+        results, overall_gens, overall_gts = [], {}, {}
+        for it, batch in enumerate(self.test_dict_dataloader):
+            out = greedy(self.state.variables(), self.put_batch(batch))
+            scores_np = np.asarray(out["scores"])
+            ids = np.argmax(scores_np, axis=-1)
+            valid = np.asarray(batch["sample_valid"])
+            n_real = int(valid.sum())
+            ocr_tokens = batch["ocr_tokens"]
+            # determination: fixed-vocab vs OCR provenance per token
+            answers_gen, in_fixed = self.vocab.decode_answer_with_determination(
+                ids[:n_real], ocr_tokens, join_words=True
+            )
+            gens, gts = {}, {}
+            for i, (gts_i, gen_i) in enumerate(
+                zip(batch["answers"][:n_real], answers_gen)
+            ):
+                key = f"{it}_{i}"
+                gens[key] = gen_i
+                gts[key] = gts_i
+                overall_gens[key] = [gen_i]
+                overall_gts[key] = gts_i
+            results.append(
+                {
+                    "id": [int(x) for x in np.asarray(batch["question_id"])[valid]],
+                    "filename": [
+                        f for f, v in zip(batch["filename"], valid) if v
+                    ],
+                    "gens": gens,
+                    "gts": gts,
+                    "in_fixed_vocab": in_fixed,
+                }
+            )
+
+        scores, _ = compute_scores(overall_gts, overall_gens)
+        logger.info("Evaluation scores on test: %s", scores)
+        with open(
+            os.path.join(self.checkpoint_path, "test_results.json"), "w+"
+        ) as handle:
+            json.dump({"results": results, **scores}, handle, ensure_ascii=False)
+        return scores
+
+
+@META_TASK.register()
+class TrainingM4C(TrainingMMF):
+    """M4C-family eval via the model's greedy inference instead of beam
+    search (training_m4c_task.py:52); training protocol identical."""
+
+
+@META_TASK.register()
+class MmfClassificationTask(BaseTask):
+    """LoRRA-style classification over fixed vocab + OCR choices with
+    multi-label BCE loss (mmf_classification_task.py:20-39)."""
+
+    def configuring_hyperparameters(self, config):
+        self.epoch = 0
+        self.score_name = config.TRAINING.SCORE
+        self.learning_rate = config.TRAINING.LEARNING_RATE
+        self.patience_limit = config.TRAINING.PATIENCE
+        self.max_epochs = config.TRAINING.get("MAX_EPOCHS")
+
+    def lr_schedule(self):
+        return constant_lambda_schedule(self.learning_rate)
+
+    def load_datasets(self, config):
+        self.train_dataset = build_dataset(
+            config.JSON_PATH.TRAIN, self.vocab, config.FEATURE_DATASET
+        )
+        self.dev_dataset = build_dataset(
+            config.JSON_PATH.DEV, self.vocab, config.FEATURE_DATASET
+        )
+        self.test_dataset = build_dataset(
+            config.JSON_PATH.TEST, self.vocab, config.FEATURE_DATASET
+        )
+
+    def create_dataloaders(self, config):
+        fd = config.DATASET.FEATURE_DATASET
+        seed = int(config.TRAINING.get("SEED", 42))
+        common = dict(
+            batch_size=fd.BATCH_SIZE, num_workers=fd.get("WORKERS", 4) or 1,
+            seed=seed,
+        )
+        self.train_dataloader = DataLoader(self.train_dataset, shuffle=True, **common)
+        self.dev_dataloader = DataLoader(self.dev_dataset, shuffle=False, **common)
+        self.test_dataloader = DataLoader(self.test_dataset, shuffle=False, **common)
+
+    # -- jitted steps ----------------------------------------------------------
+    def _train_step(self, state, batch, dropout_rng):
+        def loss_fn(params):
+            results = state.apply_fn(
+                {"params": params, **({"frozen": state.frozen} if state.frozen else {})},
+                batch,
+                train=True,
+                rngs={"dropout": dropout_rng},
+            )
+            scores = results["scores"]
+            targets = jax.nn.one_hot(
+                batch["answer"].reshape(-1), scores.shape[-1], dtype=scores.dtype
+            )
+            # BCEWithLogitsLoss(reduction='mean') over one-hot targets
+            losses = jnp.maximum(scores, 0) - scores * targets + jnp.log1p(
+                jnp.exp(-jnp.abs(scores))
+            )
+            weights = batch["sample_valid"].astype(scores.dtype)[:, None]
+            return jnp.sum(losses * weights) / jnp.maximum(
+                jnp.sum(weights) * scores.shape[-1], 1.0
+            )
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        return state.apply_gradients(grads), loss
+
+    def _eval_step(self, state, batch):
+        results = state.apply_fn(
+            {"params": state.params, **({"frozen": state.frozen} if state.frozen else {})},
+            batch,
+            train=False,
+        )
+        return jnp.argmax(results["scores"], axis=-1)
+
+    def _compiled(self):
+        if not hasattr(self, "_train_step_jit"):
+            self._train_step_jit = jax.jit(self._train_step, donate_argnums=(0,))
+            self._eval_step_jit = jax.jit(self._eval_step)
+        return self._train_step_jit, self._eval_step_jit
+
+    def train(self):
+        train_step, _ = self._compiled()
+        running_loss, count = 0.0, 0
+        start = time.time()
+        for batch in self.train_dataloader:
+            self.state, loss = train_step(
+                self.state, self.put_batch(batch), self.next_dropout_rng()
+            )
+            running_loss += float(loss)
+            count += 1
+        logger.info(
+            "Epoch %d - training: loss=%.4f (%d it, %.1fs)",
+            self.epoch, running_loss / max(count, 1), count, time.time() - start,
+        )
+
+    def evaluate_metrics(self, dataloader) -> dict:
+        _, eval_step = self._compiled()
+        gens, gts = {}, {}
+        for it, batch in enumerate(dataloader):
+            preds = np.asarray(eval_step(self.state, self.put_batch(batch)))
+            ocr_tokens = batch["ocr_tokens"]
+            answers_gt = self.vocab.decode_answer(
+                batch["answer"].reshape(-1), ocr_tokens, join_word=True
+            )
+            answers_gen = self.vocab.decode_answer(
+                preds, ocr_tokens, join_word=True
+            )
+            for i, (gt, gen) in enumerate(zip(answers_gt, answers_gen)):
+                if not batch["sample_valid"][i]:
+                    continue
+                gens[f"{it}_{i}"] = [gen]
+                gts[f"{it}_{i}"] = [gt]
+        scores, _ = compute_scores(gts, gens)
+        return scores
+
+    def start(self):
+        last = os.path.join(self.checkpoint_path, LAST_NAME)
+        metadata = self.load_checkpoint(last) if os.path.isfile(last) else None
+        if metadata is not None:
+            best_val_score = metadata["best_val_score"]
+            patience = metadata["patience"]
+            self.epoch = metadata["epoch"] + 1
+        else:
+            best_val_score, patience = -1.0, 0
+
+        while True:
+            self.train()
+            scores = self.evaluate_metrics(self.dev_dataloader)
+            logger.info("Validation scores %s", scores)
+            val_score = scores[self.score_name]
+
+            best = val_score > best_val_score
+            if best:
+                best_val_score, patience = val_score, 0
+            else:
+                patience += 1
+
+            exit_train = patience == self.patience_limit
+            if exit_train:
+                logger.info("patience reached.")
+            if self.max_epochs is not None and self.epoch + 1 >= self.max_epochs:
+                exit_train = True
+
+            self.save_checkpoint(
+                {"best_val_score": best_val_score, "patience": patience}
+            )
+            if best:
+                copyfile(
+                    os.path.join(self.checkpoint_path, LAST_NAME),
+                    os.path.join(self.checkpoint_path, BEST_NAME),
+                )
+            if exit_train:
+                break
+            self.epoch += 1
+
+    def get_predictions(self):
+        best = os.path.join(self.checkpoint_path, BEST_NAME)
+        if not os.path.isfile(best):
+            raise FileNotFoundError(
+                f"no best_model checkpoint in {self.checkpoint_path}"
+            )
+        self.load_checkpoint(best)
+        _, eval_step = self._compiled()
+        results, overall_gens, overall_gts = [], {}, {}
+        for it, batch in enumerate(self.test_dataloader):
+            preds = np.asarray(eval_step(self.state, self.put_batch(batch)))
+            ocr_tokens = batch["ocr_tokens"]
+            answers_gt = self.vocab.decode_answer(
+                batch["answer"].reshape(-1), ocr_tokens, join_word=True
+            )
+            answers_gen = self.vocab.decode_answer(
+                preds, ocr_tokens, join_word=True
+            )
+            gens, gts = {}, {}
+            for i, (gt, gen) in enumerate(zip(answers_gt, answers_gen)):
+                if not batch["sample_valid"][i]:
+                    continue
+                key = f"{it}_{i}"
+                gens[key] = gen
+                gts[key] = gt
+                overall_gens[key] = [gen]
+                overall_gts[key] = [gt]
+            valid = np.asarray(batch["sample_valid"])
+            results.append(
+                {
+                    "id": [int(x) for x in np.asarray(batch["question_id"])[valid]],
+                    "filename": [
+                        f for f, v in zip(batch["filename"], valid) if v
+                    ],
+                    "gens": gens,
+                    "gts": gts,
+                }
+            )
+        scores, _ = compute_scores(overall_gts, overall_gens)
+        logger.info("Evaluation scores on test: %s", scores)
+        with open(
+            os.path.join(self.checkpoint_path, "test_results.json"), "w+"
+        ) as handle:
+            json.dump({"results": results, **scores}, handle, ensure_ascii=False)
+        return scores

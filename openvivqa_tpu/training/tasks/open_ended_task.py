@@ -171,8 +171,9 @@ class OpenEndedTask(BaseTask):
             self.epoch, running_loss / max(count, 1), count, time.time() - start,
         )
 
-    def _decode_batch(self, outs: np.ndarray):
-        """Token ids -> deduped strings (open_ended_task.py:139-146)."""
+    def _decode_batch(self, outs: np.ndarray, batch=None):
+        """Token ids -> deduped strings (open_ended_task.py:139-146);
+        OCR-aware subclasses use `batch` for the per-sample OCR tables."""
         token_lists = self.vocab.decode_answer(
             outs.reshape(-1, self.vocab.max_answer_length), join_words=False
         )
@@ -186,7 +187,7 @@ class OpenEndedTask(BaseTask):
         run = self._generate_fn(dataloader.batch_size, self.evaluating_beam_size)
         for it, batch in enumerate(dataloader):
             outs, _ = run(self.state.variables(), self.put_batch(batch))
-            answers_gen = self._decode_batch(np.asarray(outs))
+            answers_gen = self._decode_batch(np.asarray(outs), batch)
             for i, (gts_i, gen_i) in enumerate(zip(batch["answers"], answers_gen)):
                 if not batch["sample_valid"][i]:
                     continue
@@ -248,7 +249,7 @@ class OpenEndedTask(BaseTask):
             bs = outs_np.shape[0]
             valid = np.asarray(batch["sample_valid"])
             n_real = int(valid.sum())
-            answers_gen = self._decode_batch(outs_np[:n_real])
+            answers_gen = self._decode_batch(outs_np[:n_real], batch)
             answers_gt = list(
                 itertools.chain(*([a] * beam for a in batch["answers"]))
             )
@@ -332,7 +333,7 @@ class OpenEndedTask(BaseTask):
         overall_gens, overall_gts = {}, {}
         for it, batch in enumerate(self.test_dict_dataloader):
             outs, _ = run(self.state.variables(), self.put_batch(batch))
-            answers_gen = self._decode_batch(np.asarray(outs))
+            answers_gen = self._decode_batch(np.asarray(outs), batch)
             gens, gts = {}, {}
             for i, (gts_i, gen_i) in enumerate(zip(batch["answers"], answers_gen)):
                 if not batch["sample_valid"][i]:
