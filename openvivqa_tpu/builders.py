@@ -32,7 +32,13 @@ def build_task(config):
 def build_model(config, vocab):
     """Instantiate a flax model description (no device move: JAX arrays are
     placed by shardings at call time, unlike model_builder.py:6-10)."""
-    model_cls = META_ARCHITECTURE.get(config.ARCHITECTURE)
+    name = config.ARCHITECTURE
+    # configs/iterative_m4c.yaml names ARCHITECTURE: M4C but carries the
+    # home-grown IterativeM4C schema (DYNAMIC_EMBEDDING et al.) — the
+    # reference crashes on it; dispatch by schema instead
+    if name == "M4C" and config.get("OCR_DET_EMBEDDING") is not None:
+        name = "IterativeM4C"
+    model_cls = META_ARCHITECTURE.get(name)
     return model_cls(config=config, vocab=vocab)
 
 

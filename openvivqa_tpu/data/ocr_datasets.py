@@ -24,8 +24,10 @@ from .datasets import DictionaryDataset, FeatureClassificationDataset, FeatureDa
 class _SceneTextMixin:
     def _init_scene_text(self, config) -> None:
         self.scene_text_features_path = config.FEATURE_PATH.SCENE_TEXT
-        self.scene_text_threshold = config.SCENE_TEXT_THRESHOLD
-        self.max_scene_text = int(config.MAX_SCENE_TEXT)
+        self.scene_text_threshold = config.get("SCENE_TEXT_THRESHOLD", 0.3)
+        # iterative_m4c.yaml omits MAX_SCENE_TEXT in the dataset section
+        # (a latent reference crash); default to the reference's usual cap
+        self.max_scene_text = int(config.get("MAX_SCENE_TEXT", 100) or 100)
 
     def load_scene_text_features(self, image_id: int) -> Dict[str, Any]:
         feature_file = os.path.join(

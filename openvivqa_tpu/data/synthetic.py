@@ -56,7 +56,8 @@ def generate_synthetic_dataset(
     ann_dir = os.path.join(root, "annotations")
     feat_dir = os.path.join(root, "features")
     ocr_dir = os.path.join(root, "scene_text")
-    for d in (ann_dir, feat_dir, ocr_dir):
+    img_dir = os.path.join(root, "images")
+    for d in (ann_dir, feat_dir, ocr_dir, img_dir):
         os.makedirs(d, exist_ok=True)
 
     # features per image
@@ -103,6 +104,18 @@ def generate_synthetic_dataset(
             allow_pickle=True,
         )
 
+    # small raw JPEGs for the image-input (ViT) datasets; dedicated rng so
+    # adding images never changes the generated text/features
+    img_rng = np.random.default_rng(seed + 104729)
+    try:
+        from PIL import Image
+
+        for image_id in range(n_images):
+            pixels = img_rng.integers(0, 256, size=(32, 32, 3)).astype(np.uint8)
+            Image.fromarray(pixels).save(os.path.join(img_dir, f"{image_id}.jpg"))
+    except ImportError:
+        pass
+
     # annotations split by image so every split shares the feature store
     images = [
         {"id": image_id, "filename": f"{image_id}.jpg"}
@@ -142,6 +155,7 @@ def generate_synthetic_dataset(
 
     paths["features"] = feat_dir
     paths["scene_text"] = ocr_dir
+    paths["images"] = img_dir
     return paths
 
 

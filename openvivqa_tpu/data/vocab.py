@@ -36,16 +36,10 @@ class Vocab:
         self.eos_token = config.EOS_TOKEN
         self.unk_token = config.UNK_TOKEN
 
-        self.make_vocab(
-            [
-                config.JSON_PATH.TRAIN,
-                config.JSON_PATH.DEV,
-                config.JSON_PATH.TEST,
-            ]
-        )
+        self.make_vocab(self.vocab_json_paths(config))
         counter = self.freqs.copy()
 
-        min_freq = max(config.MIN_FREQ, 1)
+        min_freq = max(config.get("MIN_FREQ", 1) or 1, 1)
 
         specials = self.special_tokens()
         itos = list(specials)
@@ -77,6 +71,15 @@ class Vocab:
             self.load_word_embeddings(build_word_embedding(config))
 
     # -- hooks for subclasses --------------------------------------------------
+    def vocab_json_paths(self, config) -> List[str]:
+        """Which splits the vocab is built from (all three by default;
+        EVJVQA vocabs restrict to train+dev)."""
+        return [
+            config.JSON_PATH.TRAIN,
+            config.JSON_PATH.DEV,
+            config.JSON_PATH.get("TEST"),
+        ]
+
     def special_tokens(self) -> List[str]:
         return [
             self.padding_token,

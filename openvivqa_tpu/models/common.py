@@ -36,6 +36,13 @@ def attention_pool(features: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(features * weights, axis=1)
 
 
+def total_answers_of(vocab) -> int:
+    """Classifier width; some reference configs pair classification models
+    with generative vocabs (e.g. cross_modality_transformer_vlsp.yaml +
+    VlspVqaMultiModalVocab, a latent crash) — fall back to the token vocab."""
+    return getattr(vocab, "total_answers", None) or len(vocab)
+
+
 class DualStreamClassifier(nn.Module):
     """vision/text attr-reduce + projected fusion + LN + classify."""
 

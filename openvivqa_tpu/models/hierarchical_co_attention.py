@@ -24,7 +24,7 @@ from ..builders import (
     build_vision_embedding,
 )
 from .base import BatchArrays, ClassificationModel
-from .common import DualStreamClassifier
+from .common import DualStreamClassifier, total_answers_of
 
 _xavier = nn.initializers.xavier_uniform()
 
@@ -95,7 +95,7 @@ class HierarchicalCoAttention(ClassificationModel):
             language_padding_bias=text_bias[..., : text_features.shape[1]],
             train=train,
         )
-        out = DualStreamClassifier(c, self.vocab.total_answers)(
+        out = DualStreamClassifier(c, total_answers_of(self.vocab))(
             vision_features, text_features, train=train
         )
         return jax.nn.log_softmax(out, axis=-1)

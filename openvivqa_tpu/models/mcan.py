@@ -20,6 +20,7 @@ from ..builders import (
     build_text_embedding,
     build_vision_embedding,
 )
+from .common import total_answers_of
 from .base import BatchArrays, ClassificationModel
 
 _xavier = nn.initializers.xavier_uniform()
@@ -55,7 +56,7 @@ class MCAN(ClassificationModel):
         self.vision_proj = nn.Dense(self.d_model, kernel_init=_xavier)
         self.text_proj = nn.Dense(self.d_model, kernel_init=_xavier)
         self.layer_norm = nn.LayerNorm()
-        self.classify = nn.Dense(self.vocab.total_answers, kernel_init=_xavier)
+        self.classify = nn.Dense(total_answers_of(self.vocab), kernel_init=_xavier)
 
     def __call__(self, batch: BatchArrays, train: bool = False) -> jnp.ndarray:
         vision_features, vision_bias = self.vision_embedding(

@@ -74,7 +74,10 @@ class MMF_LoRRA(nn.Module):
         self.spatial_attn = _WeightsAttention(self.d_model)
         self.context_attn = _WeightsAttention(self.d_model)
 
-        self.num_choices = self.vocab.total_answers + c.MAX_SCENE_TEXT
+        # mmf_lorra.yaml pairs LoRRA with OcrVocab (no total_answers) — a
+        # latent reference crash; fall back to the token vocab size
+        total_answers = getattr(self.vocab, "total_answers", len(self.vocab))
+        self.num_choices = total_answers + c.get("MAX_SCENE_TEXT", 0)
         self.classifier = nn.Dense(self.num_choices, kernel_init=_normal)
 
     def _streams(self, batch: BatchArrays, train: bool):

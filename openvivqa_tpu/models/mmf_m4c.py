@@ -41,8 +41,14 @@ class MMF_M4C(nn.Module):
 
     def setup(self):
         c = self.config
-        self.hidden_size = c.MMT.HIDDEN_SIZE
-        self.num_heads = c.MMT.NUM_ATTENTION_HEADS
+        # some reference configs (mmf_iterative_m4c.yaml) describe the stack
+        # via ENCODER/DECODER instead of MMT — fall back accordingly
+        mmt = c.get("MMT") or c.get("ENCODER")
+        self.hidden_size = mmt.get("HIDDEN_SIZE", mmt.get("D_MODEL", c.D_MODEL))
+        self.num_heads = mmt.get("NUM_ATTENTION_HEADS", mmt.get("HEAD", 8))
+        self.mmt_layers = mmt.get(
+            "NUM_HIDDEN_LAYERS", mmt.get("LAYERS", 4)
+        )
         self.max_iter = self.vocab.max_answer_length
         self.d_model = self.hidden_size
 
@@ -62,7 +68,7 @@ class MMF_M4C(nn.Module):
         )
         self.mmt = MMT(
             hidden_size=self.hidden_size,
-            num_layers=c.MMT.NUM_HIDDEN_LAYERS,
+            num_layers=self.mmt_layers,
             num_heads=self.num_heads,
         )
         # explicit classifier params: the kernel doubles as the fixed-vocab
@@ -73,9 +79,10 @@ class MMF_M4C(nn.Module):
         self.classifier_bias = self.param(
             "classifier_bias", nn.initializers.zeros, (len(self.vocab),)
         )
+        ptr = c.get("OCR_PTR_NET")
         self.ocr_ptr_net = OcrPtrNet(
-            hidden_size=c.OCR_PTR_NET.HIDDEN_SIZE,
-            query_key_size=c.OCR_PTR_NET.QUERY_KEY_SIZE,
+            hidden_size=ptr.HIDDEN_SIZE if ptr else self.hidden_size,
+            query_key_size=ptr.get("QUERY_KEY_SIZE") if ptr else None,
         )
 
     # -- encodings -------------------------------------------------------------

@@ -122,8 +122,8 @@ class _IterativeM4CBase(MMF_M4C):
     def setup(self):
         super().setup()
         c = self.config
-        enc = c.get("ENCODER", c.MMT)
-        dec = c.get("DECODER", c.MMT)
+        enc = c.get("ENCODER") or c.MMT
+        dec = c.get("DECODER") or c.MMT
         self.joint_encoder = BertEncoderStack(
             hidden_size=self.hidden_size,
             num_layers=enc.get("LAYERS", enc.get("NUM_HIDDEN_LAYERS")),

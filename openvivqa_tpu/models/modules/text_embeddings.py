@@ -204,15 +204,23 @@ class HierarchicalFeaturesExtractor(nn.Module):
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, train: bool = False):
-        features, masks = UsualEmbedding(self.config, self.vocab)(tokens, train=train)
-        outputs = []
+        features, (pad_bias, _) = UsualEmbedding(self.config, self.vocab)(
+            tokens, train=train
+        )
+        outputs, biases = [], []
         for ngram in self.config.N_GRAMS:
+            n = int(ngram)
             conv = nn.Conv(
                 features=self.config.D_MODEL,
-                kernel_size=(int(ngram),),
+                kernel_size=(n,),
                 padding="VALID",
                 kernel_init=_xavier,
             )
             outputs.append(conv(features))
+            # window i covers tokens [i, i+n); treat it as padding when its
+            # first token is padding (the reference returns the token-level
+            # mask whose length no longer matches — a latent crash)
+            biases.append(pad_bias[..., : tokens.shape[-1] - n + 1])
         ngram_features = jnp.concatenate(outputs, axis=1)
-        return ngram_features, masks
+        ngram_bias = jnp.concatenate(biases, axis=-1)
+        return ngram_features, (ngram_bias, causal_bias(ngram_features.shape[1]))

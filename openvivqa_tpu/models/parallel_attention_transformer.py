@@ -17,7 +17,7 @@ from ..builders import (
     build_vision_embedding,
 )
 from .base import BatchArrays, ClassificationModel
-from .common import DualStreamClassifier
+from .common import DualStreamClassifier, total_answers_of
 
 
 @META_ARCHITECTURE.register()
@@ -42,7 +42,7 @@ class ParallelAttentionTransformer(ClassificationModel):
             language_padding_bias=text_bias,
             train=train,
         )
-        out = DualStreamClassifier(c, self.vocab.total_answers)(
+        out = DualStreamClassifier(c, total_answers_of(self.vocab))(
             vision_features, text_features, train=train
         )
         return jax.nn.log_softmax(out, axis=-1)

@@ -22,6 +22,7 @@ from ..builders import (
     build_text_embedding,
     build_vision_embedding,
 )
+from .common import total_answers_of
 from .base import BatchArrays, ClassificationModel
 
 _xavier = nn.initializers.xavier_uniform()
@@ -84,5 +85,5 @@ class SAAA(ClassificationModel):
         hidden = nn.Dropout(rate=0.5)(combined, deterministic=deterministic)
         hidden = nn.relu(nn.Dense(1024, kernel_init=_xavier)(hidden))
         hidden = nn.Dropout(rate=0.5)(hidden, deterministic=deterministic)
-        logits = nn.Dense(self.vocab.total_answers, kernel_init=_xavier)(hidden)
+        logits = nn.Dense(total_answers_of(self.vocab), kernel_init=_xavier)(hidden)
         return jax.nn.log_softmax(logits, axis=-1)

@@ -16,7 +16,7 @@ from ..builders import (
     build_vision_embedding,
 )
 from .base import BatchArrays, ClassificationModel
-from .common import AttentionReduceMLP, attention_pool
+from .common import AttentionReduceMLP, attention_pool, total_answers_of
 
 _xavier = nn.initializers.xavier_uniform()
 
@@ -44,5 +44,5 @@ class VanillaTransformer(ClassificationModel):
             fused, AttentionReduceMLP(c.ATTR_REDUCE)(fused, train=train)
         )
         out = nn.LayerNorm()(nn.Dense(c.D_MODEL, kernel_init=_xavier)(pooled))
-        out = nn.Dense(self.vocab.total_answers, kernel_init=_xavier)(out)
+        out = nn.Dense(total_answers_of(self.vocab), kernel_init=_xavier)(out)
         return jax.nn.log_softmax(out, axis=-1)

@@ -7,3 +7,4 @@ from .ocr_tasks import (  # noqa: F401
     TrainingM4C,
     TrainingMMF,
 )
+from .vlsp_evjvqa_task import VlspEvjVqaTask  # noqa: F401
