@@ -40,6 +40,15 @@ class BaseDataset:
         )
         self._feature_cache: Dict[int, Dict[str, Any]] = {}
         self.cache_features = bool(config.get("CACHE_FEATURES", False))
+        # packed store fast path: FEATURES may point at a .fpack blob built
+        # by openvivqa_tpu.data.feature_pack (native mmap gather)
+        self._packed_store = None
+        if self.image_features_path and str(self.image_features_path).endswith(
+            ".fpack"
+        ):
+            from .feature_pack import PackedFeatureStore
+
+            self._packed_store = PackedFeatureStore(self.image_features_path)
 
     def load_annotations(self, json_data: Dict) -> List[Dict]:
         raise NotImplementedError
@@ -59,6 +68,16 @@ class BaseDataset:
     def load_features(self, image_id: int) -> Dict[str, Any]:
         if self.cache_features and image_id in self._feature_cache:
             return self._feature_cache[image_id]
+        if self._packed_store is not None:
+            features = {
+                key: self._pad_static(np.asarray(value), self.max_regions)
+                if value.ndim >= 1 and value.shape[0] > 1
+                else np.asarray(value)
+                for key, value in self._packed_store.get(image_id).items()
+            }
+            if self.cache_features:
+                self._feature_cache[image_id] = features
+            return features
         feature_file = os.path.join(self.image_features_path, f"{image_id}.npy")
         raw = np.load(feature_file, allow_pickle=True)[()]
         features: Dict[str, Any] = {}

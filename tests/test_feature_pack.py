@@ -1,0 +1,101 @@
+"""Packed feature store: roundtrip vs the .npy dicts, native gather path,
+dataset integration, and a host-throughput comparison."""
+
+import os
+import subprocess
+import time
+
+import numpy as np
+import pytest
+
+from openvivqa_tpu.builders import build_dataset, build_vocab, populate
+from openvivqa_tpu.config import ConfigNode
+from openvivqa_tpu.data.feature_pack import (
+    PackedFeatureStore,
+    native_library,
+    pack_features,
+)
+
+populate()
+
+
+@pytest.fixture(scope="module")
+def pack(synthetic_data, tmp_path_factory):
+    out = tmp_path_factory.mktemp("pack") / "features.fpack"
+    info = pack_features(synthetic_data["features"], str(out))
+    return str(out), info, synthetic_data
+
+
+def test_pack_roundtrip(pack):
+    pack_path, info, paths = pack
+    store = PackedFeatureStore(pack_path, use_native=False)
+    raw = np.load(
+        os.path.join(paths["features"], "0.npy"), allow_pickle=True
+    )[()]
+    got = store.get(0)
+    for key in info["keys"]:
+        want = np.asarray(raw[key], np.float32)
+        if want.ndim == 1:
+            want = want[:, None]
+        np.testing.assert_allclose(np.asarray(got[key]).reshape(want.shape), want)
+
+
+def test_native_gather_matches(pack):
+    pack_path, info, _ = pack
+    if native_library() is None:
+        pytest.skip("native library not built")
+    store = PackedFeatureStore(pack_path, use_native=True)
+    assert store._lib is not None, "native path must engage when built"
+    ids = list(store.images.keys())[:4]
+    batch = store.gather(ids, "region_features")
+    fallback = PackedFeatureStore(pack_path, use_native=False)
+    for i, image_id in enumerate(ids):
+        want = fallback.get(image_id)["region_features"]
+        np.testing.assert_allclose(batch[i].reshape(want.shape), want)
+
+
+def test_dataset_uses_pack(pack, synthetic_data):
+    pack_path, _, paths = pack
+    vocab = build_vocab(
+        ConfigNode(
+            {
+                "TYPE": "Vocab", "TOKENIZER": None, "MIN_FREQ": 1,
+                "WORD_EMBEDDING": None,
+                "PAD_TOKEN": "<pad>", "BOS_TOKEN": "<bos>",
+                "EOS_TOKEN": "<eos>", "UNK_TOKEN": "<unk>",
+                "JSON_PATH": {
+                    "TRAIN": paths["train"], "DEV": paths["dev"],
+                    "TEST": paths["test"],
+                },
+            }
+        )
+    )
+    ds_npy = build_dataset(
+        paths["train"], vocab,
+        ConfigNode({"TYPE": "FeatureDataset", "MAX_REGIONS": 36,
+                    "FEATURE_PATH": {"FEATURES": paths["features"]}}),
+    )
+    ds_pack = build_dataset(
+        paths["train"], vocab,
+        ConfigNode({"TYPE": "FeatureDataset", "MAX_REGIONS": 36,
+                    "FEATURE_PATH": {"FEATURES": pack_path}}),
+    )
+    a, b = ds_npy[0], ds_pack[0]
+    np.testing.assert_allclose(
+        a["region_features"], b["region_features"], atol=1e-6
+    )
+
+    # host throughput: packed loads should beat pickled .npy dict loads
+    n = 200
+    start = time.perf_counter()
+    for i in range(n):
+        ds_npy.load_features(ds_npy.annotations[i % len(ds_npy)]["image_id"])
+    npy_time = time.perf_counter() - start
+    ds_pack.cache_features = False
+    start = time.perf_counter()
+    for i in range(n):
+        ds_pack.load_features(ds_pack.annotations[i % len(ds_pack)]["image_id"])
+    pack_time = time.perf_counter() - start
+    print(f"npy: {npy_time:.4f}s  pack: {pack_time:.4f}s "
+          f"({npy_time / max(pack_time, 1e-9):.1f}x)")
+    assert pack_time < npy_time
