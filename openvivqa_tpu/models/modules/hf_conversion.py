@@ -1,0 +1,90 @@
+"""HuggingFace BERT weight conversion into the flax BERT stack.
+
+The reference loads pretrained HF encoders at model build
+(text_embeddings.py:303-570, mmf_m4c.py:53-57).  Offline, our stacks random-
+initialise; when a local HF checkpoint is available (hub cache or a path),
+`convert_bert_weights` maps a torch BertModel state dict onto the
+BertEmbeddings + BertEncoderStack parameter tree, and `load_text_bert`
+returns ready flax params.  Conversion is verified numerically in
+tests/test_hf_conversion.py against a torch BertModel on shared inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from ...logging_utils import setup_logger
+
+logger = setup_logger()
+
+
+def _t(array) -> np.ndarray:
+    return np.asarray(array.detach().cpu().numpy(), np.float32)
+
+
+def convert_bert_weights(state_dict: Dict, num_layers: int) -> Dict:
+    """torch BertModel state_dict -> {'embeddings': ..., 'encoder': ...}
+    param trees for our BertEmbeddings / BertEncoderStack."""
+
+    def linear(prefix):
+        return {
+            "kernel": _t(state_dict[f"{prefix}.weight"]).T,
+            "bias": _t(state_dict[f"{prefix}.bias"]),
+        }
+
+    def layer_norm(prefix):
+        return {
+            "scale": _t(state_dict[f"{prefix}.weight"]),
+            "bias": _t(state_dict[f"{prefix}.bias"]),
+        }
+
+    embeddings = {
+        "Embed_0": {
+            "embedding": _t(state_dict["embeddings.word_embeddings.weight"])
+        },
+        "Embed_1": {
+            "embedding": _t(state_dict["embeddings.position_embeddings.weight"])
+        },
+        "Embed_2": {
+            "embedding": _t(state_dict["embeddings.token_type_embeddings.weight"])
+        },
+        "LayerNorm_0": layer_norm("embeddings.LayerNorm"),
+    }
+
+    encoder = {}
+    for i in range(num_layers):
+        prefix = f"encoder.layer.{i}"
+        encoder[f"layer_{i}"] = {
+            # BertSelfAttention_0: q/k/v/out Dense + LN
+            "BertSelfAttention_0": {
+                "Dense_0": linear(f"{prefix}.attention.self.query"),
+                "Dense_1": linear(f"{prefix}.attention.self.key"),
+                "Dense_2": linear(f"{prefix}.attention.self.value"),
+                "Dense_3": linear(f"{prefix}.attention.output.dense"),
+                "LayerNorm_0": layer_norm(f"{prefix}.attention.output.LayerNorm"),
+            },
+            "Dense_0": linear(f"{prefix}.intermediate.dense"),
+            "Dense_1": linear(f"{prefix}.output.dense"),
+            "LayerNorm_0": layer_norm(f"{prefix}.output.LayerNorm"),
+        }
+    return {"embeddings": embeddings, "encoder": encoder}
+
+
+def load_hf_bert_params(
+    name_or_path: str, num_layers: Optional[int] = None
+) -> Optional[Dict]:
+    """Best-effort local-only HF load + conversion (no network egress)."""
+    try:
+        from transformers import BertModel
+
+        model = BertModel.from_pretrained(name_or_path, local_files_only=True)
+    except Exception as exc:  # noqa: BLE001
+        logger.warning(
+            "no local HF weights for %s (%s); using random init",
+            name_or_path, exc,
+        )
+        return None
+    layers = num_layers or model.config.num_hidden_layers
+    return convert_bert_weights(model.state_dict(), layers)

@@ -1,0 +1,62 @@
+"""Multi-host runtime helpers.
+
+The reference is strictly single-process (SURVEY.md §2 preamble); the
+TPU-native equivalent (§5.8): `initialize()` wires jax.distributed when a
+coordinator is configured, and `gather_eval_dicts` merges per-host
+generation/ground-truth dicts before the host-side metric computation.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Tuple
+
+import jax
+
+from ..logging_utils import setup_logger
+
+logger = setup_logger()
+
+
+def initialize() -> None:
+    """Initialise jax.distributed from env when running multi-host.
+
+    Controlled by JAX_COORDINATOR_ADDRESS (+ optional JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID); a no-op single-host.
+    """
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if not coordinator:
+        return
+    kwargs = {"coordinator_address": coordinator}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
+    logger.info(
+        "jax.distributed initialised: process %d/%d, %d devices",
+        jax.process_index(), jax.process_count(), jax.device_count(),
+    )
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def gather_eval_dicts(
+    gts: Dict, gens: Dict
+) -> Tuple[Dict, Dict]:
+    """Merge per-host eval dicts onto every host (metrics are host-side
+    string ops; SURVEY.md §5.8).  Single-process: identity."""
+    if jax.process_count() == 1:
+        return gts, gens
+    from jax.experimental import multihost_utils
+
+    all_pairs = multihost_utils.process_allgather((gts, gens), tiled=False)
+    merged_gts, merged_gens = {}, {}
+    for host_id, (host_gts, host_gens) in enumerate(zip(*all_pairs)):
+        for key, value in host_gts.items():
+            merged_gts[f"h{host_id}_{key}"] = value
+        for key, value in host_gens.items():
+            merged_gens[f"h{host_id}_{key}"] = value
+    return merged_gts, merged_gens

@@ -120,9 +120,32 @@ class BaseTask:
         self.rng, rng = jax.random.split(self.rng)
         return rng
 
+    # -- observability -----------------------------------------------------------
+    def log_metrics(self, payload: Dict[str, Any]) -> None:
+        """Append one JSONL record to <ckpt>/metrics.jsonl (the reference
+        only logs to console, SURVEY.md §5.5)."""
+        import json
+        import time as _time
+
+        record = {"epoch": self.epoch, "time": _time.time(), **payload}
+        with open(
+            os.path.join(self.checkpoint_path, "metrics.jsonl"), "a"
+        ) as handle:
+            handle.write(json.dumps(record, default=str) + "\n")
+
+    @property
+    def profile_dir(self) -> Optional[str]:
+        return self.config.TRAINING.get("PROFILE_DIR")
+
     # -- checkpoints -----------------------------------------------------------
     def save_checkpoint(self, extras: Dict[str, Any]) -> None:
-        metadata = {"epoch": self.epoch, **extras}
+        metadata = {
+            "epoch": self.epoch,
+            # dropout PRNG stream resumes exactly (base_task.py:97-112 saves
+            # all RNG states; jax's key is our device-side equivalent)
+            "jax_rng_key": np.asarray(self.rng),
+            **extras,
+        }
         save_checkpoint(
             os.path.join(self.checkpoint_path, LAST_NAME), self.state, metadata
         )
@@ -133,6 +156,9 @@ class BaseTask:
             return None
         logger.info("Loaded checkpoint from %s", fname)
         self.state = jax.device_put(result["state"], replicate_spec(self.mesh))
+        key = result["metadata"].get("jax_rng_key")
+        if key is not None:
+            self.rng = jnp.asarray(key)
         return result["metadata"]
 
     def start(self):

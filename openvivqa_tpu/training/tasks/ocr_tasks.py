@@ -117,6 +117,9 @@ class TrainingMMF(_GreedyMMFMixin, OcrOpenEndedTask):
                     continue
                 gens[f"{it}_{i}"] = [gen_i]
                 gts[f"{it}_{i}"] = gts_i
+        from ...parallel.multihost import gather_eval_dicts
+
+        gts, gens = gather_eval_dicts(gts, gens)
         scores, _ = compute_scores(gts, gens)
         return scores
 
@@ -290,6 +293,9 @@ class MmfClassificationTask(BaseTask):
                     continue
                 gens[f"{it}_{i}"] = [gen]
                 gts[f"{it}_{i}"] = [gt]
+        from ...parallel.multihost import gather_eval_dicts
+
+        gts, gens = gather_eval_dicts(gts, gens)
         scores, _ = compute_scores(gts, gens)
         return scores
 

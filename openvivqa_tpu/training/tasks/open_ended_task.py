@@ -157,18 +157,31 @@ class OpenEndedTask(BaseTask):
 
     # -- loops -----------------------------------------------------------------
     def train(self):
+        from ..profiling import StepTimer, maybe_trace
+
         train_step = self._compiled()
         running_loss, count = 0.0, 0
+        timer = StepTimer()
         start = time.time()
-        for batch in self.train_dataloader:
-            self.state, loss = train_step(
-                self.state, self.put_batch(batch), self.next_dropout_rng()
-            )
-            running_loss += float(loss)
-            count += 1
+        with maybe_trace(self.profile_dir, enabled=self.epoch == 0):
+            for batch in self.train_dataloader:
+                timer.start()
+                self.state, loss = train_step(
+                    self.state, self.put_batch(batch), self.next_dropout_rng()
+                )
+                loss = float(loss)
+                timer.stop()
+                running_loss += loss
+                count += 1
+        elapsed = time.time() - start
+        mean_loss = running_loss / max(count, 1)
         logger.info(
             "Epoch %d - XE training: loss=%.4f (%d it, %.1fs)",
-            self.epoch, running_loss / max(count, 1), count, time.time() - start,
+            self.epoch, mean_loss, count, elapsed,
+        )
+        self.log_metrics(
+            {"phase": "train", "loss": mean_loss, "iterations": count,
+             "seconds": elapsed, **timer.summary()}
         )
 
     def _decode_batch(self, outs: np.ndarray, batch=None):
@@ -193,6 +206,9 @@ class OpenEndedTask(BaseTask):
                     continue
                 gens[f"{it}_{i}"] = [gen_i]
                 gts[f"{it}_{i}"] = gts_i
+        from ...parallel.multihost import gather_eval_dicts
+
+        gts, gens = gather_eval_dicts(gts, gens)
         scores, _ = compute_scores(gts, gens)
         return scores
 
@@ -291,6 +307,7 @@ class OpenEndedTask(BaseTask):
 
             scores = self.evaluate_metrics(self.dev_dict_dataloader)
             logger.info("Validation scores %s", scores)
+            self.log_metrics({"phase": "validation", **scores})
             val_score = scores[self.score_name]
 
             best = val_score > best_val_score

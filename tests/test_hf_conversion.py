@@ -1,0 +1,65 @@
+"""HF BERT weight conversion: our flax stack with converted weights matches
+torch transformers.BertModel outputs on shared inputs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from openvivqa_tpu.models.modules.bert import BertEmbeddings, BertEncoderStack
+from openvivqa_tpu.models.modules.hf_conversion import convert_bert_weights
+from openvivqa_tpu.models.modules.masks import padding_bias
+
+
+def test_bert_conversion_matches_torch():
+    config = transformers.BertConfig(
+        vocab_size=120,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=40,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.BertModel(config, add_pooling_layer=False)
+    hf.eval()
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(4, 120, size=(2, 9)).astype(np.int64)
+    tokens[:, -2:] = 0  # pad
+
+    attn_mask = (tokens != 0).astype(np.float32)
+    with torch.no_grad():
+        # HF extended mask: (1-mask) * large negative, like the framework's
+        ext = (1.0 - torch.tensor(attn_mask)[:, None, None, :]) * -10e4
+        want = hf(
+            input_ids=torch.tensor(tokens),
+            attention_mask=torch.tensor(attn_mask),
+        ).last_hidden_state.numpy()
+
+    params = convert_bert_weights(hf.state_dict(), num_layers=2)
+
+    embeddings = BertEmbeddings(
+        vocab_size=120, hidden_size=32, max_position_embeddings=40, dropout=0.0
+    )
+    encoder = BertEncoderStack(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        dropout=0.0,
+    )
+    tokens_j = jnp.asarray(tokens.astype(np.int32))
+    bias = padding_bias(tokens_j, padding_idx=0)
+    embedded = embeddings.apply({"params": params["embeddings"]}, tokens_j)
+    out = encoder.apply(
+        {"params": params["encoder"]}, embedded, attention_bias=bias
+    )
+    got = np.asarray(out)
+
+    # compare only non-padded positions (HF computes padded rows too but
+    # they are meaningless)
+    valid = attn_mask.astype(bool)
+    np.testing.assert_allclose(got[valid], want[valid], atol=5e-5)
