@@ -17,6 +17,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def get_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
@@ -26,6 +27,50 @@ def get_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
         if n_devices is not None:
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def get_mesh_2d(
+    n_devices: Optional[int] = None, model_parallel: int = 1, devices=None
+) -> Mesh:
+    """A (data, model) mesh: batch over 'data', tensor-parallel shards over
+    'model'.  model_parallel=1 degenerates to pure DP."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    devices = np.asarray(devices)
+    assert devices.size % model_parallel == 0, (
+        f"{devices.size} devices not divisible by model_parallel="
+        f"{model_parallel}"
+    )
+    grid = devices.reshape(devices.size // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def param_partition_spec(param: "jax.Array", mesh: Mesh) -> PartitionSpec:
+    """Tensor-parallel placement rule (SURVEY.md §5.8: all sharding routed
+    through this module).  Large 2-D kernels shard their output dim over the
+    'model' axis (column parallel — XLA/GSPMD inserts the collectives);
+    everything else replicates.  With no 'model' axis this is a no-op."""
+    model_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(MODEL_AXIS, 1)
+    if model_size <= 1:
+        return PartitionSpec()
+    if (
+        getattr(param, "ndim", 0) == 2
+        and param.shape[-1] % model_size == 0
+        and param.shape[-1] >= 2 * model_size
+        and param.shape[0] >= 8
+    ):
+        return PartitionSpec(None, MODEL_AXIS)
+    return PartitionSpec()
+
+
+def shard_params(params, mesh: Mesh):
+    """device_put every leaf with its tensor-parallel placement."""
+    return jax.tree.map(
+        lambda p: jax.device_put(p, NamedSharding(mesh, param_partition_spec(p, mesh))),
+        params,
+    )
 
 
 def shard_batch_spec(mesh: Mesh) -> NamedSharding:
