@@ -157,6 +157,30 @@ class Vocab:
             return NotImplemented
         return self.stoi == other.stoi and self.freqs == other.freqs
 
+    def extend(self, other: "Vocab", sort: bool = False) -> None:
+        """Merge another vocab's tokens (vocab.py:134-140 parity)."""
+        words = (
+            sorted(other.itos.values()) if sort else list(other.itos.values())
+        )
+        for word in words:
+            if word not in self.stoi:
+                index = len(self.itos)
+                self.itos[index] = word
+                self.stoi[word] = index
+
+    def set_vectors(self, stoi, word_embeddings, dim: int) -> None:
+        """Assign word vectors from an external table (vocab.py:155-176)."""
+        from .word_embedding import unk_init
+
+        table = np.zeros((len(self), dim), dtype=np.float32)
+        for i, token in self.itos.items():
+            index = stoi.get(token)
+            if index is not None:
+                table[i] = np.asarray(word_embeddings[index])
+            else:
+                table[i] = unk_init(token, dim)
+        self.word_embeddings = table
+
     # -- pretrained word vectors ----------------------------------------------
     def load_word_embeddings(self, word_embeddings) -> None:
         if not isinstance(word_embeddings, list):

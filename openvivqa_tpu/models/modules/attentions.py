@@ -303,6 +303,36 @@ class _DecodeKVCache(nn.Module):
         return cached_k.value, cached_v.value, cached_bias.value + future
 
 
+class _StaticEncKVCache(nn.Module):
+    """Cross-attention K/V cache for decoding: the encoder features are
+    constant across decode steps, so their K/V projections are computed on
+    the first step and reused (the reference re-projects every step,
+    attentions.py:327 — at d_model 512 that re-projection is ~90% of the
+    per-step cross-attention FLOPs).  Named `enc_kv` so the beam-search
+    gather can skip these beam-invariant buffers."""
+
+    @nn.compact
+    def __call__(self, project_fn, keys, values, n_heads, d_k, d_v):
+        bs, sk = keys.shape[0], keys.shape[1]
+        cached_k = self.variable(
+            "cache", "enc_kv_key", lambda: jnp.zeros((bs, n_heads, sk, d_k))
+        )
+        cached_v = self.variable(
+            "cache", "enc_kv_value", lambda: jnp.zeros((bs, n_heads, sk, d_v))
+        )
+        filled = self.variable(
+            "cache", "enc_kv_filled", lambda: jnp.zeros((), jnp.int32)
+        )
+        k, v = jax.lax.cond(
+            filled.value > 0,
+            lambda: (cached_k.value, cached_v.value),
+            lambda: project_fn(keys, values),
+        )
+        cached_k.value, cached_v.value = k, v
+        filled.value = jnp.ones((), jnp.int32)
+        return k, v
+
+
 class MultiHeadAttention(nn.Module):
     """Attention core + dropout + post-LN residual + optional AoA gates +
     decode-time K/V cache (attentions.py:293-338 parity)."""
@@ -322,6 +352,8 @@ class MultiHeadAttention(nn.Module):
         self.can_be_stateful = self.config.CAN_BE_STATEFUL
         if self.can_be_stateful:
             self.kv_cache = _DecodeKVCache()
+        else:
+            self.enc_kv_cache = _StaticEncKVCache()
 
     def __call__(
         self,
@@ -338,6 +370,14 @@ class MultiHeadAttention(nn.Module):
             out = self._decode_step(
                 queries, keys, values, attention_bias, max_decode_len, **kwargs
             )
+        elif decode and isinstance(self.attention, ScaledDotProductAttention):
+            # cross-attention during decode: keys/values are the constant
+            # encoder stream — project once, reuse every step
+            core = self.attention
+            k, v = self.enc_kv_cache(
+                core.project_kv, keys, values, core.h, core.d_k, core.d_v
+            )
+            out = core.attend(core.project_q(queries), k, v, attention_bias)
         else:
             out = self.attention(
                 queries, keys, values, attention_bias=attention_bias,

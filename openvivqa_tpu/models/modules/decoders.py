@@ -64,7 +64,8 @@ class DecoderLayer(nn.Module):
         )
         enc_att = self.enc_attn(
             self_att, keys, values,
-            attention_bias=enc_attention_bias, train=train, **kwargs,
+            attention_bias=enc_attention_bias, train=train, decode=decode,
+            **kwargs,
         )
         return self.pwff(enc_att, train=train)
 

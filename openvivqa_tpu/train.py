@@ -27,6 +27,28 @@ def _parse_opts(pairs):
     return overrides
 
 
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (first TPU compiles are 20-40s;
+    cached reruns are instant).  Override dir via OPENVIVQA_COMPILE_CACHE;
+    disable with OPENVIVQA_COMPILE_CACHE=off."""
+    import os
+
+    cache_dir = os.environ.get(
+        "OPENVIVQA_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/openvivqa_tpu/xla"),
+    )
+    if cache_dir.lower() in ("off", "0", "none"):
+        return
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is best-effort
+        pass
+
+
 def main(argv=None):
     logger = setup_logger()
     parser = argparse.ArgumentParser()
@@ -34,6 +56,7 @@ def main(argv=None):
     parser.add_argument("--opts", nargs="*", default=None)
     args = parser.parse_args(argv)
 
+    _enable_compilation_cache()
     populate()
     config = get_config(args.config_file, _parse_opts(args.opts))
     task = build_task(config)

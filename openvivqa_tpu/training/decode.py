@@ -30,17 +30,22 @@ EOS_FREEZE = -999.0  # beam_search.py:53 parity
 
 
 def _gather_beams(tree, selected_beam: jnp.ndarray, bs: int, beam: int):
-    """Reorder every (bs*beam, ...) leaf by the per-batch beam indices."""
+    """Reorder every (bs*beam, ...) leaf by the per-batch beam indices.
+    Beam-invariant buffers are skipped: scalar counters, and the static
+    encoder K/V caches ('enc_kv_*' — identical across beams by
+    construction, so the gather would be a no-op costing HBM traffic)."""
 
-    def gather(leaf):
+    def gather(path, leaf):
         if leaf.ndim == 0 or leaf.shape[0] != bs * beam:
-            return leaf  # scalar counters (cache index/pos) are beam-invariant
+            return leaf
+        if any("enc_kv" in str(entry) for entry in path):
+            return leaf
         shaped = leaf.reshape((bs, beam) + leaf.shape[1:])
         idx = selected_beam.reshape((bs, beam) + (1,) * (leaf.ndim - 1))
         idx = jnp.broadcast_to(idx, (bs, beam) + leaf.shape[1:])
         return jnp.take_along_axis(shaped, idx, axis=1).reshape(leaf.shape)
 
-    return jax.tree.map(gather, tree)
+    return jax.tree_util.tree_map_with_path(gather, tree)
 
 
 def _expand_to_beams(tree, beam: int):

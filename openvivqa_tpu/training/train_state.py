@@ -46,6 +46,39 @@ class TrainState(struct.PyTreeNode):
         return out
 
 
+def bce_with_logits_loss(
+    scores: jnp.ndarray, targets: jnp.ndarray
+) -> jnp.ndarray:
+    """BCEWithLogitsLoss(reduction='mean') over one-hot targets
+    (classification_task.py:20-31 / mmf_classification_task.py:20-31)."""
+    one_hot = jax.nn.one_hot(targets, scores.shape[-1], dtype=scores.dtype)
+    losses = (
+        jnp.maximum(scores, 0)
+        - scores * one_hot
+        + jnp.log1p(jnp.exp(-jnp.abs(scores)))
+    )
+    return jnp.mean(losses)
+
+
+def masked_bce_with_logits_loss(
+    scores: jnp.ndarray, targets: jnp.ndarray, ignore_index: int
+) -> jnp.ndarray:
+    """BCEWithMaskLogitsLoss (training_mmf_task.py:18-37): per-position BCE
+    on one-hot targets, rows whose target == ignore_index zeroed, summed and
+    divided by the number of *masked* rows (the reference's quirk: it counts
+    the ignored rows, max'd with 1) — kept bit-faithful."""
+    one_hot = jax.nn.one_hot(targets, scores.shape[-1], dtype=scores.dtype)
+    losses = (
+        jnp.maximum(scores, 0)
+        - scores * one_hot
+        + jnp.log1p(jnp.exp(-jnp.abs(scores)))
+    )
+    ignored = (targets == ignore_index).astype(scores.dtype)
+    losses = losses * (1.0 - ignored)[..., None]
+    count = jnp.maximum(jnp.sum(ignored), 1.0)
+    return jnp.sum(losses) / count
+
+
 def nll_loss(
     logprobs: jnp.ndarray,
     targets: jnp.ndarray,

@@ -125,6 +125,26 @@ def test_beam_out_size_full():
     np.testing.assert_allclose(our_lp, ref_lp, atol=1e-5)
 
 
+def test_return_probs_shapes():
+    table = _logit_table(4)
+    bs, beam, max_len = 2, 3, 5
+    table_j = jnp.asarray(table)
+
+    def step_fn(cache, tokens):
+        t = cache["t"]
+        return table_j[tokens[:, 0], t][:, None, :], {"t": t + 1}
+
+    outs, lps, all_lps = beam_search(
+        step_fn, {"t": jnp.zeros((bs * beam,), jnp.int32)},
+        batch_size=bs, beam_size=beam, max_len=max_len,
+        bos_idx=BOS, eos_idx=EOS, out_size=beam, return_probs=True,
+    )
+    assert outs.shape == (bs, beam, max_len)
+    assert lps.shape == (bs, beam, max_len)
+    assert all_lps.shape == (bs, beam, max_len, V)
+    assert np.isfinite(np.asarray(all_lps)).all()
+
+
 def test_eos_freezes_beam():
     """Force eos as the argmax everywhere: every beam should emit eos at
     t=0 then pad (word 0) forever, with log-probs frozen at 0 after."""
