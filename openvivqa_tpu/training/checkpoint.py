@@ -13,7 +13,6 @@ import os
 import pickle
 from typing import Any, Dict, Optional
 
-import jax
 import numpy as np
 from flax import serialization
 

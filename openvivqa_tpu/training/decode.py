@@ -19,8 +19,7 @@ TPU-native redesign (SURVEY.md §7.3.1):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

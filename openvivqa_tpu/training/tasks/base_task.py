@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import os
 import pickle
-from functools import partial
 from typing import Any, Dict, Optional
 
 import jax
@@ -20,9 +19,9 @@ from ...builders import build_model, build_vocab
 from ...logging_utils import setup_logger
 from ...parallel.mesh import get_mesh, replicate_spec, shard_batch_spec
 from ...utils.instance import Batch, collate
-from ..checkpoint import BEST_NAME, LAST_NAME, load_checkpoint, save_checkpoint
+from ..checkpoint import LAST_NAME, load_checkpoint, save_checkpoint
 from ..optim import make_optimizer, noam_schedule
-from ..train_state import TrainState, nll_loss
+from ..train_state import TrainState
 
 logger = setup_logger()
 
