@@ -13,6 +13,7 @@ import os
 import pickle
 from typing import Any, Dict, Optional
 
+import jax
 import numpy as np
 from flax import serialization
 
@@ -20,7 +21,16 @@ LAST_NAME = "last_model.pth"
 BEST_NAME = "best_model.pth"
 
 
-def save_checkpoint(path: str, state_pytree: Any, metadata: Dict[str, Any]) -> None:
+def _backend() -> str:
+    return os.environ.get("OPENVIVQA_CKPT_BACKEND", "flax").lower()
+
+
+def save_checkpoint(
+    path: str, state_pytree: Any, metadata: Dict[str, Any]
+) -> None:
+    if _backend() == "orbax":
+        _save_orbax(path, state_pytree, metadata)
+        return
     payload = {
         "state": serialization.to_bytes(state_pytree),
         "metadata": metadata,
@@ -35,6 +45,8 @@ def save_checkpoint(path: str, state_pytree: Any, metadata: Dict[str, Any]) -> N
 def load_checkpoint(
     path: str, state_template: Any
 ) -> Optional[Dict[str, Any]]:
+    if os.path.isdir(path + ".orbax"):
+        return _load_orbax(path, state_template)
     if not os.path.exists(path):
         return None
     with open(path, "rb") as handle:
@@ -45,3 +57,46 @@ def load_checkpoint(
     except (KeyError, ValueError):
         pass
     return {"state": state, "metadata": payload["metadata"]}
+
+
+def _orbax_dir(path: str) -> str:
+    return os.path.abspath(path + ".orbax")
+
+
+def _save_orbax(path: str, state_pytree: Any, metadata: Dict[str, Any]) -> None:
+    """Orbax backend (OPENVIVQA_CKPT_BACKEND=orbax): async-capable sharded
+    checkpointing for multi-host runs; the `.pth` file stays a pickle of
+    host metadata so `last/best` promotion-by-copy semantics still work."""
+    import shutil
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    target = _orbax_dir(path)
+    if os.path.isdir(target):
+        shutil.rmtree(target)
+    checkpointer = ocp.StandardCheckpointer()
+    checkpointer.save(target, jax.tree.map(np.asarray, state_pytree))
+    checkpointer.wait_until_finished()
+    with open(path, "wb") as handle:
+        pickle.dump(
+            {"metadata": metadata, "numpy_rng_state": np.random.get_state()},
+            handle,
+        )
+
+
+def _load_orbax(path: str, state_template: Any) -> Optional[Dict[str, Any]]:
+    import orbax.checkpoint as ocp
+
+    checkpointer = ocp.StandardCheckpointer()
+    state = checkpointer.restore(
+        _orbax_dir(path), target=jax.tree.map(np.asarray, state_template)
+    )
+    with open(path, "rb") as handle:
+        payload = pickle.load(handle)
+    try:
+        np.random.set_state(payload["numpy_rng_state"])
+    except (KeyError, ValueError):
+        pass
+    return {"state": state, "metadata": payload["metadata"]}
+

@@ -119,6 +119,15 @@ class BaseTask:
         self.rng, rng = jax.random.split(self.rng)
         return rng
 
+    def maybe_remat(self, forward_fn):
+        """TRAINING.REMAT: true wraps the forward in jax.checkpoint so the
+        backward pass recomputes activations instead of storing them —
+        trades ~1.3x step FLOPs for O(model) activation memory (HBM
+        headroom for larger batches; the reference has no equivalent)."""
+        if self.config.TRAINING.get("REMAT"):
+            return jax.checkpoint(forward_fn)
+        return forward_fn
+
     # -- observability -----------------------------------------------------------
     def log_metrics(self, payload: Dict[str, Any]) -> None:
         """Append one JSONL record to <ckpt>/metrics.jsonl (the reference

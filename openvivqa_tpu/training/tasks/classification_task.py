@@ -67,13 +67,17 @@ class ClassificationTask(BaseTask):
     def _train_step(self, state, batch, dropout_rng):
         padding_idx = self.vocab.padding_idx
 
-        def loss_fn(params):
-            out = state.apply_fn(
+        forward = self.maybe_remat(
+            lambda params: state.apply_fn(
                 {"params": params, **({"frozen": state.frozen} if state.frozen else {})},
                 batch,
                 train=True,
                 rngs={"dropout": dropout_rng},
             )
+        )
+
+        def loss_fn(params):
+            out = forward(params)
             targets = batch["answer"].reshape(-1)
             logprobs = out.reshape(-1, out.shape[-1])
             weights = batch["sample_valid"].astype(out.dtype)

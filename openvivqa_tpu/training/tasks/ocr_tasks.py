@@ -84,13 +84,17 @@ class TrainingMMF(_GreedyMMFMixin, OcrOpenEndedTask):
     def _train_step(self, state, batch, dropout_rng):
         padding_idx = self.vocab.padding_idx
 
-        def loss_fn(params):
-            results = state.apply_fn(
+        forward = self.maybe_remat(
+            lambda params: state.apply_fn(
                 {"params": params, **({"frozen": state.frozen} if state.frozen else {})},
                 batch,
                 train=True,
                 rngs={"dropout": dropout_rng},
             )
+        )
+
+        def loss_fn(params):
+            results = forward(params)
             out = jax.nn.log_softmax(results["scores"], axis=-1)
             targets = batch["shifted_right_answer_tokens"]
             weights = jnp.broadcast_to(
@@ -224,13 +228,17 @@ class MmfClassificationTask(BaseTask):
 
     # -- jitted steps ----------------------------------------------------------
     def _train_step(self, state, batch, dropout_rng):
-        def loss_fn(params):
-            results = state.apply_fn(
+        forward = self.maybe_remat(
+            lambda params: state.apply_fn(
                 {"params": params, **({"frozen": state.frozen} if state.frozen else {})},
                 batch,
                 train=True,
                 rngs={"dropout": dropout_rng},
             )
+        )
+
+        def loss_fn(params):
+            results = forward(params)
             scores = results["scores"]
             targets = jax.nn.one_hot(
                 batch["answer"].reshape(-1), scores.shape[-1], dtype=scores.dtype

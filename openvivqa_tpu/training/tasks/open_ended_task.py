@@ -113,13 +113,17 @@ class OpenEndedTask(BaseTask):
     def _train_step(self, state, batch, dropout_rng):
         padding_idx = self.vocab.padding_idx
 
-        def loss_fn(params):
-            out = state.apply_fn(
+        forward = self.maybe_remat(
+            lambda params: state.apply_fn(
                 {"params": params, **({"frozen": state.frozen} if state.frozen else {})},
                 batch,
                 train=True,
                 rngs={"dropout": dropout_rng},
             )
+        )
+
+        def loss_fn(params):
+            out = forward(params)
             targets = batch["shifted_right_answer_tokens"]
             weights = jnp.broadcast_to(
                 batch["sample_valid"][:, None], targets.shape
