@@ -34,12 +34,25 @@ def _gather_beams(tree, selected_beam: jnp.ndarray, bs: int, beam: int):
     encoder K/V caches ('enc_kv_*' — identical across beams by
     construction, so the gather would be a no-op costing HBM traffic)."""
 
+    # one-hot selection matrix: large float leaves are reordered with a
+    # batched matmul instead of a gather — TPU gathers run on the scalar
+    # core and dominated the decode step (profiled at ~9 ms per KV-cache
+    # leaf per step); the (beam x beam) einsum is VPU/MXU work instead
+    onehot = jax.nn.one_hot(selected_beam, beam, dtype=jnp.float32)
+
     def gather(path, leaf):
         if leaf.ndim == 0 or leaf.shape[0] != bs * beam:
             return leaf
         if any("enc_kv" in str(entry) for entry in path):
             return leaf
         shaped = leaf.reshape((bs, beam) + leaf.shape[1:])
+        if leaf.dtype == jnp.float32 and leaf.size >= (1 << 14):
+            flat = shaped.reshape(bs, beam, -1)
+            out = jnp.einsum(
+                "bij,bjr->bir", onehot, flat,
+                preferred_element_type=jnp.float32,
+            )
+            return out.reshape(leaf.shape)
         idx = selected_beam.reshape((bs, beam) + (1,) * (leaf.ndim - 1))
         idx = jnp.broadcast_to(idx, (bs, beam) + leaf.shape[1:])
         return jnp.take_along_axis(shaped, idx, axis=1).reshape(leaf.shape)
@@ -123,13 +136,12 @@ def beam_search(
         )
 
         # log-prob of the chosen word under the *masked* distribution
-        # (beam_search.py:74-79)
-        beam_gathered = jnp.take_along_axis(
-            masked_word_logprob,
-            jnp.broadcast_to(
-                selected_beam[..., None], (bs, beam, vocab_size)
-            ),
-            axis=1,
+        # (beam_search.py:74-79); one-hot matmul instead of a (bs,beam,V)
+        # gather for the same scalar-core reason as the cache reorder
+        onehot = jax.nn.one_hot(selected_beam, beam, dtype=jnp.float32)
+        beam_gathered = jnp.einsum(
+            "bij,bjv->biv", onehot, masked_word_logprob,
+            preferred_element_type=jnp.float32,
         )
         this_word_logprob = jnp.take_along_axis(
             beam_gathered, selected_words[..., None], axis=2
