@@ -95,8 +95,10 @@ class OcrPtrNet(nn.Module):
 
 def batch_gather(x: jnp.ndarray, inds: jnp.ndarray) -> jnp.ndarray:
     """Per-row gather: x (bs, N, d), inds (bs, L) -> (bs, L, d)
-    (mmf_m4c.py:447-459 parity, as one take_along_axis)."""
-    return jnp.take_along_axis(x, inds[..., None], axis=1)
+    (mmf_m4c.py:447-459 parity; one-hot matmul on TPU, see ops/gather.py)."""
+    from ..ops.gather import take_rows
+
+    return take_rows(x, inds)
 
 
 class PrevPredEmbeddings(nn.Module):

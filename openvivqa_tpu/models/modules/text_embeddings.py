@@ -115,8 +115,10 @@ def batch_embedding_lookup(
 ) -> jnp.ndarray:
     """Per-sample embedding tables: weights (bs, n_rows, d), tokens (bs, L).
     TPU-native equivalent of the reference's flattened-offset gather
-    (text_embeddings.py:145-163): one take_along_axis, no reshape tricks."""
-    gathered = jnp.take_along_axis(weights, tokens[..., None], axis=1)
+    (text_embeddings.py:145-163); one-hot matmul on TPU (ops/gather.py)."""
+    from ...ops.gather import take_rows
+
+    gathered = take_rows(weights, tokens)
     not_pad = (tokens != padding_idx)[..., None].astype(gathered.dtype)
     return gathered * not_pad
 
