@@ -23,7 +23,11 @@ def take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
         and table.shape[1] >= _MIN_ROWS_FOR_MXU
     ):
         onehot = jax.nn.one_hot(ids, table.shape[1], dtype=table.dtype)
+        # HIGHEST precision: default (bf16-pass) matmuls round the selected
+        # values (~8e-3 observed); one-hot selection at HIGHEST is bit-exact
         return jnp.einsum(
-            "bln,bnd->bld", onehot, table, preferred_element_type=table.dtype
+            "bln,bnd->bld", onehot, table,
+            preferred_element_type=table.dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
     return jnp.take_along_axis(table, ids[..., None], axis=1)

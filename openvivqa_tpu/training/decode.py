@@ -51,6 +51,7 @@ def _gather_beams(tree, selected_beam: jnp.ndarray, bs: int, beam: int):
             out = jnp.einsum(
                 "bij,bjr->bir", onehot, flat,
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             return out.reshape(leaf.shape)
         idx = selected_beam.reshape((bs, beam) + (1,) * (leaf.ndim - 1))
@@ -142,6 +143,7 @@ def beam_search(
         beam_gathered = jnp.einsum(
             "bij,bjv->biv", onehot, masked_word_logprob,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
         this_word_logprob = jnp.take_along_axis(
             beam_gathered, selected_words[..., None], axis=2
