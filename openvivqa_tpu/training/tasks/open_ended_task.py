@@ -296,18 +296,41 @@ class OpenEndedTask(BaseTask):
             running_reward / max(count, 1), count,
         )
 
+    def _switch_to_scst(self):
+        """Swap the optimizer to Adam(rl_learning_rate) for self-critical
+        training (the protocol the reference keeps commented out,
+        open_ended_task.py:224-266, incl. reloading the best weights)."""
+        from ..optim import make_optimizer
+
+        best = os.path.join(self.checkpoint_path, BEST_NAME)
+        if os.path.isfile(best):
+            self.load_checkpoint(best)
+        tx = make_optimizer(lambda step: jnp.asarray(self.rl_learning_rate))
+        self.state = self.state.replace(tx=tx, opt_state=tx.init(self.state.params))
+        # the SCST step compiles against the new optimizer
+        if hasattr(self, "_scst_jit"):
+            del self._scst_jit
+        logger.info("Switching to SCST (lr=%s)", self.rl_learning_rate)
+
     def start(self):
         last = os.path.join(self.checkpoint_path, LAST_NAME)
         metadata = self.load_checkpoint(last) if os.path.isfile(last) else None
         if metadata is not None:
             best_val_score = metadata["best_val_score"]
             patience = metadata["patience"]
+            use_rl = metadata.get("use_rl", False)
             self.epoch = metadata["epoch"] + 1
         else:
-            best_val_score, patience = -1.0, 0
+            best_val_score, patience, use_rl = -1.0, 0, False
+        use_scst = bool(self.config.TRAINING.get("USE_SCST", False))
+        if use_rl:
+            self._switch_to_scst()
 
         while True:
-            self.train()
+            if use_rl:
+                self.train_scst()
+            else:
+                self.train()
 
             scores = self.evaluate_metrics(self.dev_dict_dataloader)
             logger.info("Validation scores %s", scores)
@@ -320,14 +343,24 @@ class OpenEndedTask(BaseTask):
             else:
                 patience += 1
 
-            exit_train = patience == self.patience_limit
-            if exit_train:
-                logger.info("patience reached.")
+            exit_train = False
+            if patience == self.patience_limit:
+                if use_scst and not use_rl:
+                    use_rl = True
+                    patience = 0
+                    self._switch_to_scst()
+                else:
+                    logger.info("patience reached.")
+                    exit_train = True
             if self.max_epochs is not None and self.epoch + 1 >= self.max_epochs:
                 exit_train = True
 
             self.save_checkpoint(
-                {"best_val_score": best_val_score, "patience": patience}
+                {
+                    "best_val_score": best_val_score,
+                    "patience": patience,
+                    "use_rl": use_rl,
+                }
             )
             if best:
                 copyfile(
