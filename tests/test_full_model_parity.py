@@ -229,57 +229,6 @@ def _model_config():
     }
 
 
-def _np(t):
-    return t.detach().numpy()
-
-
-def _linear(mod):
-    return {"kernel": _np(mod.weight).T, "bias": _np(mod.bias)}
-
-
-def _layer_norm(mod):
-    return {"scale": _np(mod.weight), "bias": _np(mod.bias)}
-
-
-def _mha(ref_mha):
-    core = ref_mha.attention
-    return {
-        "attention": {
-            "fc_q": _linear(core.fc_q), "fc_k": _linear(core.fc_k),
-            "fc_v": _linear(core.fc_v), "fc_o": _linear(core.fc_o),
-        },
-        "layer_norm": _layer_norm(ref_mha.layer_norm),
-    }
-
-
-def _pwff(ref_pwff):
-    return {
-        "Dense_0": _linear(ref_pwff.fc1),
-        "Dense_1": _linear(ref_pwff.fc2),
-        "LayerNorm_0": _layer_norm(ref_pwff.layer_norm),
-    }
-
-
-def _encoder_layer(ref_layer):
-    return {"mhatt": _mha(ref_layer.mhatt), "pwff": _pwff(ref_layer.pwff)}
-
-
-def _guided_layer(ref_layer):
-    return {
-        "self_mhatt": _mha(ref_layer.self_mhatt),
-        "guided_mhatt": _mha(ref_layer.guided_mhatt),
-        "pwff": _pwff(ref_layer.pwff),
-    }
-
-
-def _decoder_layer(ref_layer):
-    return {
-        "self_attn": _mha(ref_layer.self_attn),
-        "enc_attn": _mha(ref_layer.enc_attn),
-        "pwff": _pwff(ref_layer.pwff),
-    }
-
-
 def test_iterative_mcan_full_parity(ref):
     torch.manual_seed(0)
     vocab = RefVocab()
@@ -299,41 +248,14 @@ def test_iterative_mcan_full_parity(ref):
     answer_tokens = rng.integers(4, VOCAB, (bs, MAXA)).astype(np.int64)
     answer_tokens[:, -2:] = 0
 
-    # --- build the converted parameter tree ---------------------------------
-    params = {
-        "vision_embedding": {"Dense_0": _linear(ref_model.vision_embedding.proj)},
-        "text_embedding": {
-            "embedding": _np(ref_model.text_embedding.components.weight)
-        },
-        "self_encoder": {
-            "layer_norm": _layer_norm(ref_model.self_encoder.layer_norm),
-            **{
-                f"layer_{i}": _encoder_layer(layer)
-                for i, layer in enumerate(ref_model.self_encoder.layers)
-            },
-        },
-        "guided_encoder": {
-            "layer_norm": _layer_norm(ref_model.guided_encoder.layer_norm),
-            **{
-                f"layer_{i}": _guided_layer(layer)
-                for i, layer in enumerate(
-                    ref_model.guided_encoder.guided_attn_layers
-                )
-            },
-        },
-        "fusion": _pwff(ref_model.fusion),
-        "norm": _layer_norm(ref_model.norm),
-        "decoder": {
-            "word_emb": {
-                "embedding": _np(ref_model.decoder.word_emb.components.weight)
-            },
-            "fc": {"kernel": _np(ref_model.decoder.fc.weight).T},
-            **{
-                f"layer_{i}": _decoder_layer(layer)
-                for i, layer in enumerate(ref_model.decoder.layers)
-            },
-        },
-    }
+    # --- convert via the user-facing migration tool --------------------------
+    from openvivqa_tpu.models.modules.torch_conversion import (
+        convert_reference_checkpoint,
+    )
+
+    params = convert_reference_checkpoint(
+        {"state_dict": ref_model.state_dict()}, ConfigNode(_model_config())
+    )
 
     params = jax.tree.map(jnp.asarray, params)
     batch = {
