@@ -61,13 +61,6 @@ def _gather_beams(tree, selected_beam: jnp.ndarray, bs: int, beam: int):
     return jax.tree_util.tree_map_with_path(gather, tree)
 
 
-def _expand_to_beams(tree, beam: int):
-    """(bs, ...) -> (bs*beam, ...) by repeating each row `beam` times."""
-    return jax.tree.map(
-        lambda leaf: jnp.repeat(leaf, beam, axis=0), tree
-    )
-
-
 def beam_search(
     step_fn: Callable[[Dict, jnp.ndarray], Tuple[jnp.ndarray, Dict]],
     init_cache: Dict,

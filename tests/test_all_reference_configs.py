@@ -104,3 +104,24 @@ def test_reference_config_builds(config_path, synthetic_data):
         jax.random.PRNGKey(0),
     )
     assert "params" in shapes
+
+    # trace one full train step (loss + grads) — validates every config's
+    # differentiable path without compute (SURVEY.md §4.3 in spirit)
+    def train_trace(rng):
+        variables = model.init({"params": rng, "dropout": rng}, arrays, train=False)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params,
+                 **({"frozen": variables["frozen"]} if "frozen" in variables else {})},
+                arrays, train=True, rngs={"dropout": rng},
+            )
+            scores = out["scores"] if isinstance(out, dict) else out
+            return jnp.sum(scores.astype(jnp.float32) ** 2)
+
+        return jax.grad(loss_fn)(variables["params"])
+
+    import jax.numpy as jnp
+
+    grads = jax.eval_shape(train_trace, jax.random.PRNGKey(1))
+    assert jax.tree_util.tree_leaves(grads)
