@@ -46,23 +46,27 @@ class TextBert(nn.Module):
             hidden_size=hidden,
             num_layers=self.config.NUM_HIDDEN_LAYERS,
             num_heads=self.num_heads,
+            intermediate_size=self.config.get("INTERMEDIATE_SIZE"),
         )(embeddings, attention_bias=attention_bias, train=train)
 
 
 class FeatureBoxEncoding(nn.Module):
     """LN(W·feat) + LN(W·bbox) -> dropout (obj/ocr encodings,
-    mmf_m4c.py:143-200)."""
+    mmf_m4c.py:143-200).  These LayerNorms are plain torch ``nn.LayerNorm``
+    in the reference (mmf_m4c.py:81-97), i.e. eps 1e-5, unlike the BERT
+    stack's 1e-12."""
 
     hidden_size: int
     dropout: float
+    _TORCH_LN_EPS = 1e-5
 
     @nn.compact
     def __call__(
         self, features: jnp.ndarray, boxes: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
-        out = nn.LayerNorm(epsilon=LN_EPS)(
+        out = nn.LayerNorm(epsilon=self._TORCH_LN_EPS)(
             nn.Dense(self.hidden_size, kernel_init=_normal)(features)
-        ) + nn.LayerNorm(epsilon=LN_EPS)(
+        ) + nn.LayerNorm(epsilon=self._TORCH_LN_EPS)(
             nn.Dense(self.hidden_size, kernel_init=_normal)(boxes)
         )
         return nn.Dropout(rate=self.dropout)(out, deterministic=not train)
@@ -146,6 +150,7 @@ class MMT(nn.Module):
     hidden_size: int
     num_layers: int
     num_heads: int
+    intermediate_size: Optional[int] = None
 
     def setup(self):
         self.prev_pred_embeddings = PrevPredEmbeddings(self.hidden_size)
@@ -153,6 +158,7 @@ class MMT(nn.Module):
             hidden_size=self.hidden_size,
             num_layers=self.num_layers,
             num_heads=self.num_heads,
+            intermediate_size=self.intermediate_size,
         )
 
     def __call__(

@@ -55,7 +55,14 @@ class MMF_M4C(nn.Module):
         self.text_bert = TextBert(
             c.TEXT_BERT, num_heads=self.num_heads, vocab_size=len(self.vocab)
         )
-        self.uses_text_proj = c.TEXT_BERT.HIDDEN_SIZE != self.hidden_size
+        # reference rule (mmf_m4c.py:62-71): a projection exists iff MMT
+        # hidden != 768 (the TEXT_BERT_HIDDEN_SIZE constant).  We also add it
+        # when the text hidden differs from MMT hidden — the one case the
+        # reference would crash on (Identity feeding a mismatched width).
+        self.uses_text_proj = (
+            self.hidden_size != 768
+            or c.TEXT_BERT.HIDDEN_SIZE != self.hidden_size
+        )
         if self.uses_text_proj:
             self.text_bert_out_linear = nn.Dense(
                 self.hidden_size, kernel_init=_normal
@@ -70,6 +77,7 @@ class MMF_M4C(nn.Module):
             hidden_size=self.hidden_size,
             num_layers=self.mmt_layers,
             num_heads=self.num_heads,
+            intermediate_size=mmt.get("INTERMEDIATE_SIZE"),
         )
         # explicit classifier params: the kernel doubles as the fixed-vocab
         # embedding table for PrevPredEmbeddings (mmf_m4c.py:215 weight tying)

@@ -189,10 +189,106 @@ def convert_mcan(state_dict: Mapping[str, Any], config) -> Dict:
     return params
 
 
+# -- M4C family (HF-BERT-based; mmf_m4c.py:20-256) ----------------------------
+
+
+def hf_bert_embeddings(sd: StateDict, name: str) -> Dict:
+    """transformers BertEmbeddings -> our BertEmbeddings tree."""
+    scope = sd.scope(name)
+    return {
+        "Embed_0": {"embedding": scope["word_embeddings.weight"]},
+        "Embed_1": {"embedding": scope["position_embeddings.weight"]},
+        "Embed_2": {"embedding": scope["token_type_embeddings.weight"]},
+        "LayerNorm_0": layer_norm(scope, "LayerNorm"),
+    }
+
+
+def hf_bert_layer(sd: StateDict, name: str) -> Dict:
+    """transformers BertLayer -> our BertLayer tree."""
+    scope = sd.scope(name)
+    return {
+        "BertSelfAttention_0": {
+            "Dense_0": linear(scope, "attention.self.query"),
+            "Dense_1": linear(scope, "attention.self.key"),
+            "Dense_2": linear(scope, "attention.self.value"),
+            "Dense_3": linear(scope, "attention.output.dense"),
+            "LayerNorm_0": layer_norm(scope, "attention.output.LayerNorm"),
+        },
+        "Dense_0": linear(scope, "intermediate.dense"),
+        "Dense_1": linear(scope, "output.dense"),
+        "LayerNorm_0": layer_norm(scope, "output.LayerNorm"),
+    }
+
+
+def hf_bert_encoder(sd: StateDict, name: str, n_layers: int) -> Dict:
+    scope = sd.scope(name)
+    return {
+        f"layer_{i}": hf_bert_layer(scope, f"layer.{i}") for i in range(n_layers)
+    }
+
+
+def feature_box_encoding(
+    sd: StateDict, feat: str, bbox: str, feat_ln: str, bbox_ln: str
+) -> Dict:
+    """Reference obj/ocr encodings (mmf_m4c.py:74-99) -> FeatureBoxEncoding."""
+    return {
+        "Dense_0": linear(sd, feat),
+        "Dense_1": linear(sd, bbox),
+        "LayerNorm_0": layer_norm(sd, feat_ln),
+        "LayerNorm_1": layer_norm(sd, bbox_ln),
+    }
+
+
+def convert_mmf_m4c(state_dict: Mapping[str, Any], config) -> Dict:
+    """Trained reference MMF_M4C / MMF_ImprovedDecodingM4C state_dict ->
+    our param tree (identical module layout in both, mmf_m4c.py:25-113).
+    The unused reference param `ocr_text_layer_norm` is dropped."""
+    sd = StateDict(state_dict)
+    mmt_cfg = config.get("MMT") or config.get("ENCODER")
+    mmt_layers = mmt_cfg.get("NUM_HIDDEN_LAYERS", mmt_cfg.get("LAYERS", 4))
+    params = {
+        "text_bert": {
+            "BertEmbeddings_0": hf_bert_embeddings(sd, "text_bert.embeddings"),
+            "BertEncoderStack_0": hf_bert_encoder(
+                sd, "text_bert.encoder", config.TEXT_BERT.NUM_HIDDEN_LAYERS
+            ),
+        },
+        "obj_encoding": feature_box_encoding(
+            sd, "linear_obj_feat_to_mmt_in", "linear_obj_bbox_to_mmt_in",
+            "obj_feat_layer_norm", "obj_bbox_layer_norm",
+        ),
+        "ocr_encoding": feature_box_encoding(
+            sd, "linear_ocr_feat_to_mmt_in", "linear_ocr_bbox_to_mmt_in",
+            "ocr_feat_layer_norm", "ocr_bbox_layer_norm",
+        ),
+        "mmt": {
+            "prev_pred_embeddings": {
+                "LayerNorm_0": layer_norm(sd, "mmt.prev_pred_embeddings.ans_layer_norm"),
+                "LayerNorm_1": layer_norm(sd, "mmt.prev_pred_embeddings.ocr_layer_norm"),
+                "LayerNorm_2": layer_norm(sd, "mmt.prev_pred_embeddings.emb_layer_norm"),
+                "Embed_0": embedding(sd, "mmt.prev_pred_embeddings.position_embeddings"),
+                "Embed_1": embedding(sd, "mmt.prev_pred_embeddings.token_type_embeddings"),
+            },
+            "encoder": hf_bert_encoder(sd, "mmt.encoder", mmt_layers),
+        },
+        "classifier_kernel": sd["classifier.weight"].T,
+        "classifier_bias": sd["classifier.bias"],
+        "ocr_ptr_net": {
+            "Dense_0": linear(sd, "ocr_ptr_net.query"),
+            "Dense_1": linear(sd, "ocr_ptr_net.key"),
+        },
+    }
+    if "text_bert_out_linear.weight" in sd:
+        params["text_bert_out_linear"] = linear(sd, "text_bert_out_linear")
+    return params
+
+
 MODEL_CONVERTERS = {
     "IterativeMCAN": convert_iterative_mcan,
     "ReadableIterativeMCAN": convert_iterative_mcan,
     "MCAN": convert_mcan,
+    "MMF_M4C": convert_mmf_m4c,
+    "MMF_ImprovedDecodingM4C": convert_mmf_m4c,
 }
 
 
