@@ -72,6 +72,54 @@ def convert_bert_weights(state_dict: Dict, num_layers: int) -> Dict:
     return {"embeddings": embeddings, "encoder": encoder}
 
 
+def convert_vit_weights(state_dict: Dict, num_layers: int) -> Dict:
+    """torch ViTModel state_dict -> param tree fragments for ViTEmbedding's
+    raw-pixel path (patch_embed / cls_token / position_embedding / backbone).
+    torch Conv2d weight (out, in, kh, kw) -> flax Conv kernel (kh, kw, in,
+    out); the final `layernorm` is what makes last_hidden_state."""
+
+    def linear(prefix):
+        return {
+            "kernel": _t(state_dict[f"{prefix}.weight"]).T,
+            "bias": _t(state_dict[f"{prefix}.bias"]),
+        }
+
+    def layer_norm(prefix):
+        return {
+            "scale": _t(state_dict[f"{prefix}.weight"]),
+            "bias": _t(state_dict[f"{prefix}.bias"]),
+        }
+
+    backbone = {}
+    for i in range(num_layers):
+        prefix = f"encoder.layer.{i}"
+        backbone[f"layer_{i}"] = {
+            "layernorm_before": layer_norm(f"{prefix}.layernorm_before"),
+            "layernorm_after": layer_norm(f"{prefix}.layernorm_after"),
+            "attention": {
+                "query": linear(f"{prefix}.attention.attention.query"),
+                "key": linear(f"{prefix}.attention.attention.key"),
+                "value": linear(f"{prefix}.attention.attention.value"),
+                "out": linear(f"{prefix}.attention.output.dense"),
+            },
+            "intermediate": linear(f"{prefix}.intermediate.dense"),
+            "output": linear(f"{prefix}.output.dense"),
+        }
+    backbone["final_layernorm"] = layer_norm("layernorm")
+
+    return {
+        "patch_embed": {
+            "kernel": _t(
+                state_dict["embeddings.patch_embeddings.projection.weight"]
+            ).transpose(2, 3, 1, 0),
+            "bias": _t(state_dict["embeddings.patch_embeddings.projection.bias"]),
+        },
+        "cls_token": _t(state_dict["embeddings.cls_token"]),
+        "position_embedding": _t(state_dict["embeddings.position_embeddings"]),
+        "backbone": backbone,
+    }
+
+
 def load_hf_bert_params(
     name_or_path: str, num_layers: Optional[int] = None
 ) -> Optional[Dict]:

@@ -90,7 +90,9 @@ T5Embedding = _register_text_wrapper("T5Embedding")
 @META_VISION_EMBEDDING.register()
 class ViTEmbedding(nn.Module):
     """Frozen ViT backbone over pixel_values -> proj -> GELU -> dropout
-    (vision_embeddings.py:86-111 parity).  When the batch carries
+    (vision_embeddings.py:86-111 parity; backbone topology matches HF
+    ViTModel's pre-LN stack + final LayerNorm so pretrained weights convert,
+    see hf_conversion.convert_vit_weights).  When the batch carries
     `grid_features` instead of raw pixels (pre-extracted ViT features), the
     backbone is skipped and the projection runs directly."""
 
@@ -98,16 +100,19 @@ class ViTEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray, train: bool = False):
+        from .vit import ViTEncoder
+
         c = self.config
         hidden = int(c.get("D_PRETRAINED_FEATURE", 768))
         if pixel_values.ndim == 4:  # raw images (bs, H, W, 3)
             patch = int(c.get("PATCH_SIZE", 16))
             layers = int(c.get("PRETRAINED_LAYERS", 4))
-            heads = max(1, hidden // 64)
+            heads = int(c.get("PRETRAINED_HEADS", max(1, hidden // 64)))
             patches = nn.Conv(
                 features=hidden,
                 kernel_size=(patch, patch),
                 strides=(patch, patch),
+                padding="VALID",  # torch Conv2d floors, never pads
                 kernel_init=_normal,
                 name="patch_embed",
             )(pixel_values)
@@ -121,8 +126,12 @@ class ViTEmbedding(nn.Module):
                 "position_embedding", _normal, (1, tokens.shape[1], hidden)
             )
             tokens = tokens + pos
-            features = BertEncoderStack(
-                hidden_size=hidden, num_layers=layers, num_heads=heads
+            features = ViTEncoder(
+                hidden_size=hidden,
+                num_layers=layers,
+                num_heads=heads,
+                intermediate_size=c.get("PRETRAINED_INTERMEDIATE_SIZE"),
+                name="backbone",
             )(tokens, train=False)
         else:  # pre-extracted features (bs, L, D)
             features = pixel_values

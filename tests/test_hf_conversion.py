@@ -63,3 +63,61 @@ def test_bert_conversion_matches_torch():
     # they are meaningless)
     valid = attn_mask.astype(bool)
     np.testing.assert_allclose(got[valid], want[valid], atol=5e-5)
+
+
+def test_vit_conversion_matches_torch():
+    """ViTEmbedding's raw-pixel path with converted HF ViTModel weights
+    reproduces torch end-to-end (backbone last_hidden_state -> proj ->
+    GELU), the reference's frozen-ViT front-end
+    (vision_embeddings.py:86-111)."""
+    from openvivqa_tpu.config import ConfigNode
+    from openvivqa_tpu.models.modules.hf_conversion import convert_vit_weights
+    from openvivqa_tpu.models.modules.pretrained_embeddings import ViTEmbedding
+
+    config = transformers.ViTConfig(
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        image_size=32,
+        patch_size=16,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(1)
+    hf = transformers.ViTModel(config, add_pooling_layer=False)
+    hf.eval()
+    proj = torch.nn.Linear(32, 24)
+
+    rng = np.random.default_rng(1)
+    pixels = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        features = hf(
+            pixel_values=torch.tensor(pixels.transpose(0, 3, 1, 2))
+        ).last_hidden_state
+        want = torch.nn.functional.gelu(proj(features)).numpy()
+
+    model = ViTEmbedding(
+        ConfigNode(
+            {
+                "D_MODEL": 24,
+                "D_PRETRAINED_FEATURE": 32,
+                "PATCH_SIZE": 16,
+                "PRETRAINED_LAYERS": 2,
+                "PRETRAINED_HEADS": 4,
+                "PRETRAINED_INTERMEDIATE_SIZE": 64,
+                "DROPOUT": 0.0,
+            }
+        )
+    )
+    params = convert_vit_weights(hf.state_dict(), num_layers=2)
+    params["Dense_0"] = {
+        "kernel": proj.weight.detach().numpy().T,
+        "bias": proj.bias.detach().numpy(),
+    }
+    out, bias = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(pixels)
+    )
+    np.testing.assert_allclose(np.asarray(out), want, atol=5e-5)
+    assert bias.shape == (2, 1, 1, want.shape[1])
