@@ -65,6 +65,48 @@ def param_partition_spec(param: "jax.Array", mesh: Mesh) -> PartitionSpec:
     return PartitionSpec()
 
 
+def _axis_size(mesh: Mesh, axis: str) -> int:
+    return dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
+
+
+def state_partition_spec(
+    leaf: "jax.Array", mesh: Mesh, fsdp: bool = False
+) -> PartitionSpec:
+    """Placement rule for whole-TrainState leaves (params AND mirrored
+    optimizer moments — the rule is shape-based so adam mu/nu land exactly
+    like their params).  Tensor-parallel column sharding first; with
+    ``fsdp`` the remaining big matrices shard their first dim over the
+    'data' axis (GSPMD all-gathers them per-layer — ZeRO-3 semantics);
+    scalars and small leaves replicate."""
+    spec = param_partition_spec(leaf, mesh)
+    data_size = _axis_size(mesh, DATA_AXIS)
+    fsdp_dim0 = (
+        fsdp
+        and data_size > 1
+        and getattr(leaf, "ndim", 0) >= 2
+        and leaf.shape[0] % data_size == 0
+        and leaf.shape[0] >= 2 * data_size
+        and leaf.size >= 1024
+    )
+    if spec == PartitionSpec(None, MODEL_AXIS):
+        # combined layout: storage sharded over data, compute over model
+        return PartitionSpec(DATA_AXIS, MODEL_AXIS) if fsdp_dim0 else spec
+    if fsdp_dim0:
+        return PartitionSpec(DATA_AXIS)
+    return spec
+
+
+def shard_state(state, mesh: Mesh, fsdp: bool = False):
+    """device_put every TrainState leaf with its placement (params,
+    optimizer moments, counters)."""
+    return jax.tree.map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, state_partition_spec(leaf, mesh, fsdp))
+        ),
+        state,
+    )
+
+
 def shard_params(params, mesh: Mesh):
     """device_put every leaf with its tensor-parallel placement."""
     return jax.tree.map(

@@ -17,7 +17,15 @@ import numpy as np
 
 from ...builders import build_model, build_vocab
 from ...logging_utils import setup_logger
-from ...parallel.mesh import get_mesh, replicate_spec, shard_batch_spec
+from ...parallel.mesh import (
+    DATA_AXIS,
+    _axis_size,
+    get_mesh,
+    get_mesh_2d,
+    replicate_spec,
+    shard_batch_spec,
+    shard_state,
+)
 from ...utils.instance import Batch, collate
 from ..checkpoint import LAST_NAME, load_checkpoint, save_checkpoint
 from ..optim import make_optimizer, noam_schedule
@@ -51,7 +59,24 @@ class BaseTask:
 
         logger.info("Building model")
         self.model = build_model(config.MODEL, self.vocab)
-        self.mesh = get_mesh()
+        # TRAINING.MESH: {MODEL_PARALLEL: n, FSDP: bool} switches the task
+        # from pure DP (replicated params) to a (data, model) mesh with
+        # tensor-parallel kernels and optionally ZeRO-3-style param/optimizer
+        # sharding over the data axis.  The reference is single-device.
+        mesh_config = config.TRAINING.get("MESH")
+        if mesh_config:
+            self.mesh = get_mesh_2d(
+                model_parallel=int(mesh_config.get("MODEL_PARALLEL", 1))
+            )
+            self.fsdp = bool(mesh_config.get("FSDP"))
+        else:
+            self.mesh = get_mesh()
+            self.fsdp = False
+        logger.info(
+            "Device mesh: %s (fsdp=%s)",
+            dict(zip(self.mesh.axis_names, self.mesh.devices.shape)),
+            self.fsdp,
+        )
         self.rng = jax.random.PRNGKey(int(config.TRAINING.get("SEED", 42)))
 
         self.configuring_hyperparameters(config)
@@ -102,12 +127,12 @@ class BaseTask:
 
         tx = make_optimizer(self.lr_schedule())
         state = TrainState.create(self.model.apply, params, frozen, tx)
-        return jax.device_put(state, replicate_spec(self.mesh))
+        return shard_state(state, self.mesh, self.fsdp)
 
     def put_batch(self, batch: Batch) -> Dict[str, jnp.ndarray]:
         arrays = batch.arrays()
         bs = next(iter(arrays.values())).shape[0] if arrays else 0
-        if bs % max(self.mesh.size, 1) == 0:
+        if bs % max(_axis_size(self.mesh, DATA_AXIS), 1) == 0:
             spec = shard_batch_spec(self.mesh)
         else:
             # batch not divisible by the data axis (tiny eval batches):
@@ -163,7 +188,7 @@ class BaseTask:
         if result is None:
             return None
         logger.info("Loaded checkpoint from %s", fname)
-        self.state = jax.device_put(result["state"], replicate_spec(self.mesh))
+        self.state = shard_state(result["state"], self.mesh, self.fsdp)
         key = result["metadata"].get("jax_rng_key")
         if key is not None:
             self.rng = jnp.asarray(key)
