@@ -32,6 +32,9 @@ class DataLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         drop_last: bool = False,
+        process_shard: bool = True,
+        num_shards: Optional[int] = None,
+        shard_id: Optional[int] = None,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -42,14 +45,37 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
+        # multi-host: each process reads a disjoint round-robin set of
+        # batches (same seed -> same global order on every host).  Defaults
+        # to jax.process_count()/process_index() when multi-process; explicit
+        # num_shards/shard_id override (and make it testable single-host).
+        self.process_shard = process_shard
+        self.num_shards = num_shards
+        self.shard_id = shard_id
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
-    def __len__(self) -> int:
+    def _shard_info(self) -> tuple:
+        if self.num_shards is not None:
+            return max(1, self.num_shards), self.shard_id or 0
+        if not self.process_shard:
+            return 1, 0
+        try:
+            import jax
+
+            return jax.process_count(), jax.process_index()
+        except Exception:  # noqa: BLE001 — jax unavailable: single shard
+            return 1, 0
+
+    def _n_batches(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def __len__(self) -> int:
+        num_shards, shard_id = self._shard_info()
+        return len(range(shard_id, self._n_batches(), num_shards))
 
     def _order(self) -> np.ndarray:
         indices = np.arange(len(self.dataset))
@@ -81,6 +107,9 @@ class DataLoader:
             if self.drop_last and len(chunk) < self.batch_size:
                 break
             spans.append(chunk)
+        num_shards, shard_id = self._shard_info()
+        if num_shards > 1:
+            spans = spans[shard_id::num_shards]
 
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .modules.bert import LN_EPS, BertEmbeddings, BertEncoderStack
-from .modules.masks import causal_bias, padding_bias
+from .modules.masks import MASK_VALUE, causal_bias, padding_bias
 
 _normal = nn.initializers.normal(stddev=0.02)
 
@@ -120,6 +120,7 @@ class PrevPredEmbeddings(nn.Module):
         ans_emb: jnp.ndarray,  # (num_vocab, h)
         ocr_emb: jnp.ndarray,  # (bs, K, h)
         prev_inds: jnp.ndarray,  # (bs, L)
+        position_offset=0,  # decode-step mode: absolute position of column 0
         train: bool = False,
     ) -> jnp.ndarray:
         bs, seq_length = prev_inds.shape
@@ -134,7 +135,7 @@ class PrevPredEmbeddings(nn.Module):
 
         positions = nn.Embed(
             self.max_dec_length, self.hidden_size, embedding_init=_normal
-        )(jnp.arange(seq_length)[None, :])
+        )(jnp.arange(seq_length)[None, :] + position_offset)
         token_types = nn.Embed(
             self.max_type_num, self.hidden_size, embedding_init=_normal
         )((prev_inds >= ans_num).astype(jnp.int32))
@@ -171,6 +172,7 @@ class MMT(nn.Module):
         extra_streams=(),  # (emb, bias) pairs between ocr and dec
         train: bool = False,
         return_all: bool = False,
+        context_blind: bool = False,
     ):
         dec_emb = self.prev_pred_embeddings(
             fixed_ans_emb, ocr_emb, prev_inds, train=train
@@ -193,6 +195,17 @@ class MMT(nn.Module):
             causal_bias(dec_len), (extended.shape[0], 1, dec_len, dec_len)
         )
         extended = extended.at[:, :, -dec_len:, -dec_len:].set(dec_block)
+        if context_blind:
+            # upstream-MMF M4C semantics: encoding-step elements cannot
+            # attend to decoding steps.  The reference's re-implementation
+            # inverted this (mmf_m4c.py:306-312 builds dec_mask=zeros in the
+            # ADDITIVE convention, i.e. fully attendable, while keeping the
+            # upstream comment) — default False reproduces the reference;
+            # True restores upstream behavior and enables exact incremental
+            # decoding (MMF_M4C.incremental_greedy_decode).
+            extended = extended.at[:, :, : total - dec_len, -dec_len:].set(
+                MASK_VALUE
+            )
 
         encoded = self.encoder(
             inputs, attention_bias=extended, train=train, return_all=return_all
@@ -213,6 +226,72 @@ class MMT(nn.Module):
         if return_all:
             results["all_hidden_states"] = all_states
         return results
+
+
+    # -- incremental decoding (TPU-native; no reference equivalent) ------------
+    # The reference greedy loop re-encodes the FULL joint transformer per
+    # step (mmf_m4c.py:236-256): O(T · (C+T)²) attention.  Under context-
+    # blind masking the context states never depend on decoder tokens, so we
+    # encode the context once, cache each layer's inputs, and decode one
+    # token per step against those caches: O(C² + T·(C+T)).
+
+    def encode_context(
+        self,
+        txt_emb, txt_bias,
+        obj_emb, obj_bias,
+        ocr_emb, ocr_bias,
+        pre_ocr_streams=(),
+        extra_streams=(),
+        train: bool = False,
+    ):
+        streams = [
+            (txt_emb, txt_bias), (obj_emb, obj_bias), *pre_ocr_streams,
+            (ocr_emb, ocr_bias), *extra_streams,
+        ]
+        inputs = jnp.concatenate([s[0] for s in streams], axis=1)
+        col_bias = jnp.concatenate([s[1] for s in streams], axis=-1)
+        ctx_out, layer_inputs = self.encoder(
+            inputs,
+            attention_bias=col_bias,
+            return_layer_inputs=True,
+            train=train,
+        )
+        txt_len = txt_emb.shape[1]
+        obj_len = obj_emb.shape[1]
+        pre_len = sum(s[0].shape[1] for s in pre_ocr_streams)
+        ocr_begin = txt_len + obj_len + pre_len
+        return {
+            "ctx_out": ctx_out,
+            "layer_inputs": tuple(layer_inputs),
+            "col_bias": col_bias,
+            "ocr_begin": ocr_begin,
+            "ocr_end": ocr_begin + ocr_emb.shape[1],
+        }
+
+    def embed_step(self, fixed_ans_emb, ocr_emb, prev_token, step):
+        """One decode-step embedding: (bs,) prev token -> (bs, 1, h)."""
+        return self.prev_pred_embeddings(
+            fixed_ans_emb, ocr_emb, prev_token[:, None], position_offset=step
+        )
+
+    def decode_step(self, dec_emb, context, dec_caches, step, dec_len):
+        """Run ONE new decoder token through all layers against the cached
+        context + decoder-prefix keys.  Returns (out (bs,1,h), new_caches)."""
+        bs = dec_emb.shape[0]
+        positions = jnp.arange(dec_len)
+        dec_bias = jnp.where(positions <= step, 0.0, MASK_VALUE)
+        dec_bias = jnp.broadcast_to(
+            dec_bias[None, None, None, :], (bs, 1, 1, dec_len)
+        )
+        bias = jnp.concatenate([context["col_bias"], dec_bias], axis=-1)
+        out, new_caches = self.encoder(
+            dec_emb,
+            attention_bias=bias,
+            context_inputs=list(context["layer_inputs"]),
+            dec_caches=list(dec_caches),
+            step=step,
+        )
+        return out, tuple(new_caches)
 
 
 def ocr_joint_features(batch, normalize: bool = True) -> jnp.ndarray:

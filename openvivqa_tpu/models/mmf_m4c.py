@@ -51,6 +51,20 @@ class MMF_M4C(nn.Module):
         )
         self.max_iter = self.vocab.max_answer_length
         self.d_model = self.hidden_size
+        # DECODING_MODE "incremental" (TPU-native fast path): context-blind
+        # masking + per-layer KV caches; greedy decode drops from T full
+        # joint-transformer re-encodes to one context encode + T single-token
+        # steps.  Implies CONTEXT_BLIND.  Default (None) is exact reference
+        # behavior.
+        self.decoding_mode = c.get("DECODING_MODE")
+        if self.decoding_mode not in (None, "incremental"):
+            raise ValueError(
+                f"MODEL.DECODING_MODE must be 'incremental' or unset, got "
+                f"{self.decoding_mode!r}"
+            )
+        self.context_blind = bool(
+            c.get("CONTEXT_BLIND") or self.decoding_mode == "incremental"
+        )
 
         self.text_bert = TextBert(
             c.TEXT_BERT, num_heads=self.num_heads, vocab_size=len(self.vocab)
@@ -132,6 +146,7 @@ class MMF_M4C(nn.Module):
             fixed_ans_emb=self._fixed_ans_emb(),
             prev_inds=prev_inds,
             train=train,
+            context_blind=self.context_blind,
         )
         fixed_scores = self.classifier(results["mmt_dec_output"])
         dynamic_scores = self.ocr_ptr_net(
@@ -151,7 +166,10 @@ class MMF_M4C(nn.Module):
 
     def greedy_decode(self, batch: BatchArrays) -> Dict:
         """Greedy inference: max_iter full re-encodes as a lax.scan
-        (mmf_m4c.py:236-256 semantics, without the host-side early exit)."""
+        (mmf_m4c.py:236-256 semantics, without the host-side early exit).
+        With DECODING_MODE incremental, dispatches to the KV-cached path."""
+        if self.decoding_mode == "incremental":
+            return self.incremental_greedy_decode(batch)
         bs = batch["question_tokens"].shape[0]
         prev_inds = jnp.zeros((bs, self.max_iter), jnp.int32)
         prev_inds = prev_inds.at[:, 0].set(self.vocab.bos_idx)
@@ -169,6 +187,57 @@ class MMF_M4C(nn.Module):
         )
         prev_inds, all_scores = scan(self, prev_inds, jnp.arange(self.max_iter))
         return {"scores": all_scores[-1], "prev_inds": prev_inds}
+
+    def incremental_greedy_decode(self, batch: BatchArrays) -> Dict:
+        """KV-cached greedy decode: encode [txt, obj, ocr] once, then one
+        single-token step per position against per-layer caches.  Exactly
+        equivalent to the quadratic greedy under CONTEXT_BLIND masking
+        (verified token- and score-identical in tests/test_incremental_m4c.py):
+        with a causal decoder and context blind to decoder slots, position
+        i's scores depend only on prev_inds[0..i], which are final by step i."""
+        bs = batch["question_tokens"].shape[0]
+        txt_emb, txt_bias = self._txt(batch, False)
+        obj_emb, obj_bias = self._obj(batch, False)
+        ocr_emb, ocr_bias = self._ocr(batch, False)
+        context = self.mmt.encode_context(
+            txt_emb, txt_bias, obj_emb, obj_bias, ocr_emb, ocr_bias
+        )
+        ctx_ocr = context["ctx_out"][:, context["ocr_begin"]:context["ocr_end"]]
+        max_iter = self.max_iter
+        caches = tuple(
+            jnp.zeros((bs, max_iter, self.hidden_size), ctx_ocr.dtype)
+            for _ in range(self.mmt_layers)
+        )
+
+        def body(mdl, carry, step):
+            prev_token, caches = carry
+            dec_emb = mdl.mmt.embed_step(
+                mdl._fixed_ans_emb(), ocr_emb, prev_token, step
+            )
+            out, caches = mdl.mmt.decode_step(
+                dec_emb, context, caches, step, max_iter
+            )
+            fixed = mdl.classifier(out)
+            dynamic = mdl.ocr_ptr_net(out, ctx_ocr, ocr_bias)
+            scores = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0]
+            next_token = jnp.argmax(scores, axis=-1).astype(prev_token.dtype)
+            return (next_token, caches), scores
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        bos = jnp.full((bs,), self.vocab.bos_idx, jnp.int32)
+        (_, _), all_scores = scan(self, (bos, caches), jnp.arange(max_iter))
+        scores = jnp.moveaxis(all_scores, 0, 1)  # (bs, T, V+K)
+        prev_inds = jnp.concatenate(
+            [bos[:, None], jnp.argmax(scores[:, :-1], axis=-1).astype(jnp.int32)],
+            axis=1,
+        )
+        return {"scores": scores, "prev_inds": prev_inds}
 
 
 @META_ARCHITECTURE.register()

@@ -74,11 +74,18 @@ class BertLayer(nn.Module):
         attention_bias: Optional[jnp.ndarray] = None,
         encoder_states: Optional[jnp.ndarray] = None,
         encoder_bias: Optional[jnp.ndarray] = None,
+        kv_states: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
+        # kv_states: decode-step mode — the self-attention reads keys/values
+        # from an externally assembled [context, dec-cache] sequence while
+        # the residual stays on the query tokens
         attn = BertSelfAttention(self.hidden_size, self.num_heads, self.dropout)
         hidden_states = attn(
-            hidden_states, attention_bias=attention_bias, train=train
+            hidden_states,
+            kv_states=kv_states,
+            attention_bias=attention_bias,
+            train=train,
         )
         if self.cross_attention:
             cross = BertSelfAttention(self.hidden_size, self.num_heads, self.dropout)
@@ -115,9 +122,30 @@ class BertEncoderStack(nn.Module):
         encoder_bias: Optional[jnp.ndarray] = None,
         train: bool = False,
         return_all: bool = False,
+        return_layer_inputs: bool = False,
+        context_inputs: Optional[List[jnp.ndarray]] = None,
+        dec_caches: Optional[List[jnp.ndarray]] = None,
+        step: Optional[jnp.ndarray] = None,
     ):
+        """Full-sequence encode by default.  Decode-step mode (all three of
+        context_inputs/dec_caches/step given): hidden_states is ONE new
+        token (bs, 1, h); each layer i writes its input into dec_caches[i]
+        at `step` and attends over [context_inputs[i], dec_caches[i]] with
+        `attention_bias` covering that concatenated key space.  Returns
+        (output, updated_caches)."""
+        decode_mode = dec_caches is not None
         all_states: List[jnp.ndarray] = []
+        layer_inputs: List[jnp.ndarray] = []
+        new_caches: List[jnp.ndarray] = []
         for i in range(self.num_layers):
+            layer_inputs.append(hidden_states)
+            kv_states = None
+            if decode_mode:
+                cache = jax.lax.dynamic_update_slice_in_dim(
+                    dec_caches[i], hidden_states, step, axis=1
+                )
+                new_caches.append(cache)
+                kv_states = jnp.concatenate([context_inputs[i], cache], axis=1)
             hidden_states = BertLayer(
                 self.hidden_size,
                 self.num_heads,
@@ -130,9 +158,16 @@ class BertEncoderStack(nn.Module):
                 attention_bias=attention_bias,
                 encoder_states=encoder_states,
                 encoder_bias=encoder_bias,
+                kv_states=kv_states,
                 train=train,
             )
             all_states.append(hidden_states)
+        if decode_mode:
+            return hidden_states, new_caches
+        if return_layer_inputs:
+            # inputs to each layer — the K/V sources an incremental decoder
+            # caches (see m4c_common.MMT.encode_context)
+            return hidden_states, layer_inputs
         if return_all:
             return hidden_states, all_states
         return hidden_states

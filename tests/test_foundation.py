@@ -133,3 +133,35 @@ def test_classification_vocab(synthetic_data):
     # deterministic ordering across rebuilds
     vocab2 = ClassificationVocab(_vocab_config(synthetic_data, "ClassificationVocab"))
     assert vocab.itoa == vocab2.itoa
+
+
+def test_loader_process_sharding():
+    """Multi-host batch sharding: explicit shards are disjoint, cover every
+    batch exactly once, and share the same shuffled order (same seed)."""
+    from openvivqa_tpu.data.loader import DataLoader
+
+    class Ds:
+        def __len__(self):
+            return 23
+
+        def __getitem__(self, i):
+            return Instance(id=i, value=np.asarray([i], np.float32))
+
+    def ids(loader):
+        return [tuple(np.asarray(b["id"]).tolist()) for b in loader]
+
+    full = DataLoader(Ds(), batch_size=4, shuffle=True, seed=5,
+                      pad_last_batch=False, num_workers=1)
+    shards = [
+        DataLoader(Ds(), batch_size=4, shuffle=True, seed=5,
+                   pad_last_batch=False, num_workers=1,
+                   num_shards=3, shard_id=s)
+        for s in range(3)
+    ]
+    full_batches = ids(full)
+    shard_batches = [ids(s) for s in shards]
+    assert sum(len(s) for s in shard_batches) == len(full_batches) == 6
+    assert [len(s) for s in shards] == [len(b) for b in shard_batches]
+    # round-robin partition of the SAME global order
+    for s, batches in enumerate(shard_batches):
+        assert batches == full_batches[s::3]
