@@ -134,17 +134,34 @@ class MMF_M4C(nn.Module):
         # (num_vocab, hidden): transpose of the classifier kernel
         return self.classifier_kernel.T
 
-    def compute_scores(
-        self, batch: BatchArrays, prev_inds: jnp.ndarray, train: bool = False
-    ) -> jnp.ndarray:
+    def _mmt_streams(self, batch: BatchArrays, train: bool) -> Dict:
+        """All MMT input streams in joint order.  Variants override this to
+        add pre_ocr/extra streams (MMF_REGIONAL_M4C, MMF_SAL) or change the
+        question stream (MMF_LanguageAdaptiveM4C) — both compute_scores and
+        the incremental decode path consume it."""
         txt_emb, txt_bias = self._txt(batch, train)
         obj_emb, obj_bias = self._obj(batch, train)
         ocr_emb, ocr_bias = self._ocr(batch, train)
+        return {
+            "txt": (txt_emb, txt_bias),
+            "obj": (obj_emb, obj_bias),
+            "ocr": (ocr_emb, ocr_bias),
+            "pre_ocr": (),
+            "extra": (),
+        }
+
+    def compute_scores(
+        self, batch: BatchArrays, prev_inds: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        streams = self._mmt_streams(batch, train)
+        ocr_bias = streams["ocr"][1]
 
         results = self.mmt(
-            txt_emb, txt_bias, obj_emb, obj_bias, ocr_emb, ocr_bias,
+            *streams["txt"], *streams["obj"], *streams["ocr"],
             fixed_ans_emb=self._fixed_ans_emb(),
             prev_inds=prev_inds,
+            pre_ocr_streams=streams["pre_ocr"],
+            extra_streams=streams["extra"],
             train=train,
             context_blind=self.context_blind,
         )
@@ -196,11 +213,12 @@ class MMF_M4C(nn.Module):
         with a causal decoder and context blind to decoder slots, position
         i's scores depend only on prev_inds[0..i], which are final by step i."""
         bs = batch["question_tokens"].shape[0]
-        txt_emb, txt_bias = self._txt(batch, False)
-        obj_emb, obj_bias = self._obj(batch, False)
-        ocr_emb, ocr_bias = self._ocr(batch, False)
+        streams = self._mmt_streams(batch, False)
+        ocr_emb, ocr_bias = streams["ocr"]
         context = self.mmt.encode_context(
-            txt_emb, txt_bias, obj_emb, obj_bias, ocr_emb, ocr_bias
+            *streams["txt"], *streams["obj"], *streams["ocr"],
+            pre_ocr_streams=streams["pre_ocr"],
+            extra_streams=streams["extra"],
         )
         ctx_ocr = context["ctx_out"][:, context["ocr_begin"]:context["ocr_end"]]
         max_iter = self.max_iter

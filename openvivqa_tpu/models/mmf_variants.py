@@ -36,7 +36,7 @@ from .m4c_common import (
 from .m4c_common import PrevPredEmbeddings
 from .mmf_m4c import MMF_M4C
 from .modules.bert import LN_EPS, BertEncoderStack, BertLayer
-from .modules.masks import causal_bias, padding_bias
+from .modules.masks import MASK_VALUE, causal_bias, padding_bias
 
 _normal = nn.initializers.normal(stddev=0.02)
 
@@ -58,27 +58,13 @@ class MMF_REGIONAL_M4C(MMF_M4C):
             self.hidden_size, self.config.REGION_EMBEDDING.DROPOUT
         )
 
-    def compute_scores(self, batch, prev_inds, train: bool = False):
-        txt_emb, txt_bias = self._txt(batch, train)
-        obj_emb, obj_bias = self._obj(batch, train)
-        ocr_emb, ocr_bias = self._ocr(batch, train)
+    def _mmt_streams(self, batch, train: bool):
+        streams = super()._mmt_streams(batch, train)
         region_emb = self.region_encoding(
             batch["grid_features"], batch["grid_boxes"], train=train
         )
         region_bias = padding_bias(batch["grid_features"], 0)
-
-        results = self.mmt(
-            txt_emb, txt_bias, obj_emb, obj_bias, ocr_emb, ocr_bias,
-            fixed_ans_emb=self._fixed_ans_emb(),
-            prev_inds=prev_inds,
-            pre_ocr_streams=((region_emb, region_bias),),
-            train=train,
-        )
-        fixed_scores = self.classifier(results["mmt_dec_output"])
-        dynamic_scores = self.ocr_ptr_net(
-            results["mmt_dec_output"], results["mmt_ocr_output"], ocr_bias
-        )
-        return jnp.concatenate([fixed_scores, dynamic_scores], axis=-1)
+        return {**streams, "pre_ocr": ((region_emb, region_bias),)}
 
 
 @META_ARCHITECTURE.register()
@@ -91,26 +77,12 @@ class MMF_SAL(MMF_M4C):
         self.ocr_word_proj = nn.Dense(self.hidden_size, kernel_init=_normal)
         self.ocr_word_norm = nn.LayerNorm(epsilon=LN_EPS)
 
-    def compute_scores(self, batch, prev_inds, train: bool = False):
-        txt_emb, txt_bias = self._txt(batch, train)
-        obj_emb, obj_bias = self._obj(batch, train)
-        ocr_emb, ocr_bias = self._ocr(batch, train)
+    def _mmt_streams(self, batch, train: bool):
+        streams = super()._mmt_streams(batch, train)
         word_emb = self.ocr_word_norm(
             self.ocr_word_proj(l2_normalize(batch["ocr_fasttext_features"]))
         )
-
-        results = self.mmt(
-            txt_emb, txt_bias, obj_emb, obj_bias, ocr_emb, ocr_bias,
-            fixed_ans_emb=self._fixed_ans_emb(),
-            prev_inds=prev_inds,
-            extra_streams=((word_emb, ocr_bias),),
-            train=train,
-        )
-        fixed_scores = self.classifier(results["mmt_dec_output"])
-        dynamic_scores = self.ocr_ptr_net(
-            results["mmt_dec_output"], results["mmt_ocr_output"], ocr_bias
-        )
-        return jnp.concatenate([fixed_scores, dynamic_scores], axis=-1)
+        return {**streams, "extra": ((word_emb, streams["ocr"][1]),)}
 
 
 class _IterativeM4CBase(MMF_M4C):
@@ -139,39 +111,120 @@ class _IterativeM4CBase(MMF_M4C):
         ]
         self.dec_embeddings = PrevPredEmbeddings(self.hidden_size)
 
-    def compute_scores(self, batch, prev_inds, train: bool = False):
-        txt_emb, txt_bias = self._txt(batch, train)
-        obj_emb, obj_bias = self._obj(batch, train)
-        ocr_emb, ocr_bias = self._ocr(batch, train)
-
+    def _encode_joint(self, batch, train: bool):
+        streams = self._mmt_streams(batch, train)
+        (txt_emb, txt_bias) = streams["txt"]
+        (obj_emb, obj_bias) = streams["obj"]
+        (ocr_emb, ocr_bias) = streams["ocr"]
         enc_inputs = jnp.concatenate([txt_emb, obj_emb, ocr_emb], axis=1)
         enc_bias = jnp.concatenate([txt_bias, obj_bias, ocr_bias], axis=-1)
         encoded = self.joint_encoder(
             enc_inputs, attention_bias=enc_bias, train=train,
             return_all=self.multilevel,
         )
+        all_states = None
         if self.multilevel:
             encoded, all_states = encoded
         ocr_begin = txt_emb.shape[1] + obj_emb.shape[1]
-        ocr_end = ocr_begin + ocr_emb.shape[1]
+        return {
+            "encoded": encoded,
+            "all_states": all_states,
+            "enc_bias": enc_bias,
+            "ocr_emb": ocr_emb,
+            "ocr_bias": ocr_bias,
+            "ocr_begin": ocr_begin,
+            "ocr_end": ocr_begin + ocr_emb.shape[1],
+        }
+
+    def compute_scores(self, batch, prev_inds, train: bool = False):
+        enc = self._encode_joint(batch, train)
 
         dec = self.dec_embeddings(
-            self._fixed_ans_emb(), ocr_emb, prev_inds, train=train
+            self._fixed_ans_emb(), enc["ocr_emb"], prev_inds, train=train
         )
         dec_bias = causal_bias(dec.shape[1])
         for i, layer in enumerate(self.decoder_layers):
-            cross_states = all_states[i] if self.multilevel else encoded
+            cross_states = (
+                enc["all_states"][i] if self.multilevel else enc["encoded"]
+            )
             dec = layer(
                 dec,
                 attention_bias=dec_bias,
                 encoder_states=cross_states,
-                encoder_bias=enc_bias,
+                encoder_bias=enc["enc_bias"],
                 train=train,
             )
 
         fixed_scores = self.classifier(dec)
-        dynamic_scores = self.ocr_ptr_net(dec, encoded[:, ocr_begin:ocr_end], ocr_bias)
+        dynamic_scores = self.ocr_ptr_net(
+            dec, enc["encoded"][:, enc["ocr_begin"]:enc["ocr_end"]],
+            enc["ocr_bias"],
+        )
         return jnp.concatenate([fixed_scores, dynamic_scores], axis=-1)
+
+    def incremental_greedy_decode(self, batch):
+        """KV-cached greedy: the joint encoder never sees decoder tokens in
+        this topology, so this is exactly the quadratic greedy (no mask
+        change needed) at O(C² + T·(C+T)) instead of O(T) full passes."""
+        bs = batch["question_tokens"].shape[0]
+        enc = self._encode_joint(batch, False)
+        ctx_ocr = enc["encoded"][:, enc["ocr_begin"]:enc["ocr_end"]]
+        max_iter = self.max_iter
+        caches = tuple(
+            jnp.zeros((bs, max_iter, self.hidden_size), ctx_ocr.dtype)
+            for _ in range(self.dec_layers)
+        )
+
+        def body(mdl, carry, step):
+            prev_token, caches = carry
+            dec = mdl.dec_embeddings(
+                mdl._fixed_ans_emb(), enc["ocr_emb"], prev_token[:, None],
+                position_offset=step,
+            )
+            positions = jnp.arange(max_iter)
+            step_bias = jnp.broadcast_to(
+                jnp.where(positions <= step, 0.0, MASK_VALUE)[
+                    None, None, None, :
+                ],
+                (bs, 1, 1, max_iter),
+            )
+            new_caches = []
+            for i, layer in enumerate(mdl.decoder_layers):
+                cache = jax.lax.dynamic_update_slice_in_dim(
+                    caches[i], dec, step, axis=1
+                )
+                new_caches.append(cache)
+                cross_states = (
+                    enc["all_states"][i] if mdl.multilevel else enc["encoded"]
+                )
+                dec = layer(
+                    dec,
+                    attention_bias=step_bias,
+                    encoder_states=cross_states,
+                    encoder_bias=enc["enc_bias"],
+                    kv_states=cache,
+                )
+            fixed = mdl.classifier(dec)
+            dynamic = mdl.ocr_ptr_net(dec, ctx_ocr, enc["ocr_bias"])
+            scores = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0]
+            next_token = jnp.argmax(scores, axis=-1).astype(prev_token.dtype)
+            return (next_token, tuple(new_caches)), scores
+
+        scan = nn.scan(
+            body,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )
+        bos = jnp.full((bs,), self.vocab.bos_idx, jnp.int32)
+        (_, _), all_scores = scan(self, (bos, caches), jnp.arange(max_iter))
+        scores = jnp.moveaxis(all_scores, 0, 1)
+        prev_inds = jnp.concatenate(
+            [bos[:, None], jnp.argmax(scores[:, :-1], axis=-1).astype(jnp.int32)],
+            axis=1,
+        )
+        return {"scores": scores, "prev_inds": prev_inds}
 
 
 @META_ARCHITECTURE.register()

@@ -5,8 +5,9 @@ same CONTEXT_BLIND masking, with identical parameters."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from openvivqa_tpu.builders import populate
+from openvivqa_tpu.builders import META_ARCHITECTURE, populate
 from openvivqa_tpu.config import ConfigNode
 from openvivqa_tpu.models.mmf_m4c import MMF_M4C
 
@@ -63,6 +64,9 @@ def _batch():
         "answer_tokens": jnp.asarray(
             rng.integers(4, VOCAB + N_OCR, (bs, MAXA)).astype(np.int32)
         ),
+        # extra modality for MMF_REGIONAL_M4C (ignored by the others)
+        "grid_features": feats(bs, 5, 12),
+        "grid_boxes": feats(bs, 5, 4),
     }
     return batch
 
@@ -91,6 +95,46 @@ def test_incremental_matches_quadratic_blind():
     tf_q = quadratic.apply({"params": params}, batch, train=False)["scores"]
     tf_i = incremental.apply({"params": params}, batch, train=False)["scores"]
     np.testing.assert_allclose(np.asarray(tf_i), np.asarray(tf_q), atol=1e-6)
+
+
+# (name, extra config, whether exactness needs CONTEXT_BLIND on the
+# quadratic side — the encoder/decoder-split variants are structurally blind)
+VARIANTS = [
+    ("MMF_REGIONAL_M4C", {"REGION_EMBEDDING": {"DROPOUT": 0.0}}, True),
+    ("MMF_SAL", {}, True),
+    ("MMF_IterativeM4C", {}, False),
+    ("MMF_Iterative_Multilevel_M4C", {}, False),
+]
+
+
+@pytest.mark.parametrize("name,extra,needs_blind", VARIANTS,
+                         ids=[v[0] for v in VARIANTS])
+def test_variant_incremental_matches_quadratic(name, extra, needs_blind):
+    vocab = Vocab()
+    cls = META_ARCHITECTURE.get(name)
+    quad_cfg = dict(extra, ARCHITECTURE=name)
+    if needs_blind:
+        quad_cfg["CONTEXT_BLIND"] = True
+    quadratic = cls(_config(**quad_cfg), vocab)
+    incremental = cls(
+        _config(**dict(extra, ARCHITECTURE=name, DECODING_MODE="incremental")),
+        vocab,
+    )
+
+    batch = _batch()
+    variables = jax.jit(
+        lambda r, b: quadratic.init({"params": r, "dropout": r}, b, train=False)
+    )(jax.random.PRNGKey(4), batch)
+    params = variables["params"]
+
+    want = quadratic.apply({"params": params}, batch, method="greedy_decode")
+    got = incremental.apply({"params": params}, batch, method="greedy_decode")
+    np.testing.assert_array_equal(
+        np.asarray(got["prev_inds"]), np.asarray(want["prev_inds"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["scores"]), np.asarray(want["scores"]), atol=2e-5
+    )
 
 
 def test_default_mode_unchanged_by_flag_plumbing():
