@@ -144,6 +144,37 @@ class BaseTask:
         self.rng, rng = jax.random.split(self.rng)
         return rng
 
+    def epoch_rngs(self, n: int):
+        """n dropout keys in ONE device dispatch.  Splitting per step adds a
+        host round-trip between consecutive train steps (measured: 15.1 ->
+        10.7 ms/step on MCAN @ 64 over the TPU tunnel)."""
+        return list(jax.random.split(self.next_dropout_rng(), max(int(n), 1)))
+
+    def device_batches(self, dataloader, depth: int = 2):
+        """Yield (host_batch, device_batch) with `depth` batches already
+        transferring: device_put is async, so issuing batch i+1's H2D copy
+        before consuming batch i overlaps the transfer with the current
+        step's compute.  At MCAN bench dims one batch is ~26 MB of features
+        — without this the step serializes behind its own input copy."""
+        from collections import deque
+
+        iterator = iter(dataloader)
+        queue: "deque" = deque()
+
+        def fill() -> None:
+            try:
+                host = next(iterator)
+            except StopIteration:
+                return
+            queue.append((host, self.put_batch(host)))
+
+        for _ in range(max(1, depth)):
+            fill()
+        while queue:
+            host, device = queue.popleft()
+            fill()
+            yield host, device
+
     def maybe_remat(self, forward_fn):
         """TRAINING.REMAT: true wraps the forward in jax.checkpoint so the
         backward pass recomputes activations instead of storing them —

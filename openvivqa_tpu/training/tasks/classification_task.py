@@ -105,21 +105,26 @@ class ClassificationTask(BaseTask):
         from ..profiling import StepTimer, maybe_trace
 
         train_step, _ = self._compiled()
-        running_loss, count = 0.0, 0
+        losses = []
         timer = StepTimer()
         start = time.time()
+        rngs = self.epoch_rngs(len(self.train_dataloader))
         with maybe_trace(self.profile_dir, enabled=self.epoch == 0):
-            for batch in self.train_dataloader:
+            for rng, (_, device_batch) in zip(
+                rngs, self.device_batches(self.train_dataloader)
+            ):
                 timer.start()
-                self.state, loss = train_step(
-                    self.state, self.put_batch(batch), self.next_dropout_rng()
-                )
-                loss = float(loss)
+                self.state, loss = train_step(self.state, device_batch, rng)
+                # keep the loss on device — a float() here would sync the
+                # host every step and serialize dispatch with compute (over
+                # the axon tunnel that is a full RT per step)
+                losses.append(loss)
                 timer.stop()
-                running_loss += loss
-                count += 1
+        count = len(losses)
+        mean_loss = (
+            float(jnp.mean(jnp.stack(losses))) if losses else 0.0
+        )  # single host sync per epoch
         elapsed = time.time() - start
-        mean_loss = running_loss / max(count, 1)
         logger.info(
             "Epoch %d - training: loss=%.4f (%d it, %.1fs)",
             self.epoch, mean_loss, count, elapsed,
@@ -132,8 +137,8 @@ class ClassificationTask(BaseTask):
     def evaluate_metrics(self, dataloader) -> dict:
         _, eval_step = self._compiled()
         gens, gts = {}, {}
-        for it, batch in enumerate(dataloader):
-            preds = np.asarray(eval_step(self.state, self.put_batch(batch)))
+        for it, (batch, device_batch) in enumerate(self.device_batches(dataloader)):
+            preds = np.asarray(eval_step(self.state, device_batch))
             answers_gt = self.vocab.decode_answer(
                 batch["answer"].reshape(-1), join_word=True
             )
@@ -212,8 +217,10 @@ class ClassificationTask(BaseTask):
         _, eval_step = self._compiled()
         results = []
         overall_gens, overall_gts = {}, {}
-        for it, batch in enumerate(self.test_dataloader):
-            preds = np.asarray(eval_step(self.state, self.put_batch(batch)))
+        for it, (batch, device_batch) in enumerate(
+            self.device_batches(self.test_dataloader)
+        ):
+            preds = np.asarray(eval_step(self.state, device_batch))
             answers_gt = self.vocab.decode_answer(
                 batch["answer"].reshape(-1), join_word=True
             )

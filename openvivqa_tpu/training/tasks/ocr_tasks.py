@@ -113,8 +113,8 @@ class TrainingMMF(_GreedyMMFMixin, OcrOpenEndedTask):
     def evaluate_metrics(self, dataloader) -> dict:
         greedy = self._mmf_compiled()
         gens, gts = {}, {}
-        for it, batch in enumerate(dataloader):
-            results = greedy(self.state.variables(), self.put_batch(batch))
+        for it, (batch, device_batch) in enumerate(self.device_batches(dataloader)):
+            results = greedy(self.state.variables(), device_batch)
             answers_gen = self._decode_scores(np.asarray(results["scores"]), batch)
             for i, (gts_i, gen_i) in enumerate(zip(batch["answers"], answers_gen)):
                 if not batch["sample_valid"][i]:
@@ -142,8 +142,10 @@ class TrainingMMF(_GreedyMMFMixin, OcrOpenEndedTask):
 
         greedy = self._mmf_compiled()
         results, overall_gens, overall_gts = [], {}, {}
-        for it, batch in enumerate(self.test_dict_dataloader):
-            out = greedy(self.state.variables(), self.put_batch(batch))
+        for it, (batch, device_batch) in enumerate(
+            self.device_batches(self.test_dict_dataloader)
+        ):
+            out = greedy(self.state.variables(), device_batch)
             scores_np = np.asarray(out["scores"])
             ids = np.argmax(scores_np, axis=-1)
             valid = np.asarray(batch["sample_valid"])
@@ -271,24 +273,26 @@ class MmfClassificationTask(BaseTask):
 
     def train(self):
         train_step, _ = self._compiled()
-        running_loss, count = 0.0, 0
+        losses = []
         start = time.time()
-        for batch in self.train_dataloader:
-            self.state, loss = train_step(
-                self.state, self.put_batch(batch), self.next_dropout_rng()
-            )
-            running_loss += float(loss)
-            count += 1
+        rngs = self.epoch_rngs(len(self.train_dataloader))
+        for rng, (_, device_batch) in zip(
+            rngs, self.device_batches(self.train_dataloader)
+        ):
+            self.state, loss = train_step(self.state, device_batch, rng)
+            # device-side accumulation: one host sync per epoch, not per step
+            losses.append(loss)
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         logger.info(
             "Epoch %d - training: loss=%.4f (%d it, %.1fs)",
-            self.epoch, running_loss / max(count, 1), count, time.time() - start,
+            self.epoch, mean_loss, len(losses), time.time() - start,
         )
 
     def evaluate_metrics(self, dataloader) -> dict:
         _, eval_step = self._compiled()
         gens, gts = {}, {}
-        for it, batch in enumerate(dataloader):
-            preds = np.asarray(eval_step(self.state, self.put_batch(batch)))
+        for it, (batch, device_batch) in enumerate(self.device_batches(dataloader)):
+            preds = np.asarray(eval_step(self.state, device_batch))
             ocr_tokens = batch["ocr_tokens"]
             answers_gt = self.vocab.decode_answer(
                 batch["answer"].reshape(-1), ocr_tokens, join_word=True
@@ -356,8 +360,10 @@ class MmfClassificationTask(BaseTask):
         self.load_checkpoint(best)
         _, eval_step = self._compiled()
         results, overall_gens, overall_gts = [], {}, {}
-        for it, batch in enumerate(self.test_dataloader):
-            preds = np.asarray(eval_step(self.state, self.put_batch(batch)))
+        for it, (batch, device_batch) in enumerate(
+            self.device_batches(self.test_dataloader)
+        ):
+            preds = np.asarray(eval_step(self.state, device_batch))
             ocr_tokens = batch["ocr_tokens"]
             answers_gt = self.vocab.decode_answer(
                 batch["answer"].reshape(-1), ocr_tokens, join_word=True

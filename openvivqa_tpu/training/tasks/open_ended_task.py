@@ -164,21 +164,23 @@ class OpenEndedTask(BaseTask):
         from ..profiling import StepTimer, maybe_trace
 
         train_step = self._compiled()
-        running_loss, count = 0.0, 0
+        losses = []
         timer = StepTimer()
         start = time.time()
+        rngs = self.epoch_rngs(len(self.train_dataloader))
         with maybe_trace(self.profile_dir, enabled=self.epoch == 0):
-            for batch in self.train_dataloader:
+            for rng, (_, device_batch) in zip(
+                rngs, self.device_batches(self.train_dataloader)
+            ):
                 timer.start()
-                self.state, loss = train_step(
-                    self.state, self.put_batch(batch), self.next_dropout_rng()
-                )
-                loss = float(loss)
+                self.state, loss = train_step(self.state, device_batch, rng)
+                # device-side accumulation: one host sync per epoch instead
+                # of one per step (dispatch stays async)
+                losses.append(loss)
                 timer.stop()
-                running_loss += loss
-                count += 1
+        count = len(losses)
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         elapsed = time.time() - start
-        mean_loss = running_loss / max(count, 1)
         logger.info(
             "Epoch %d - XE training: loss=%.4f (%d it, %.1fs)",
             self.epoch, mean_loss, count, elapsed,
@@ -202,8 +204,8 @@ class OpenEndedTask(BaseTask):
     def evaluate_metrics(self, dataloader) -> dict:
         gens, gts = {}, {}
         run = self._generate_fn(dataloader.batch_size, self.evaluating_beam_size)
-        for it, batch in enumerate(dataloader):
-            outs, _ = run(self.state.variables(), self.put_batch(batch))
+        for it, (batch, device_batch) in enumerate(self.device_batches(dataloader)):
+            outs, _ = run(self.state.variables(), device_batch)
             answers_gen = self._decode_batch(np.asarray(outs), batch)
             for i, (gts_i, gen_i) in enumerate(zip(batch["answers"], answers_gen)):
                 if not batch["sample_valid"][i]:
@@ -385,8 +387,10 @@ class OpenEndedTask(BaseTask):
         )
         results = []
         overall_gens, overall_gts = {}, {}
-        for it, batch in enumerate(self.test_dict_dataloader):
-            outs, _ = run(self.state.variables(), self.put_batch(batch))
+        for it, (batch, device_batch) in enumerate(
+            self.device_batches(self.test_dict_dataloader)
+        ):
+            outs, _ = run(self.state.variables(), device_batch)
             answers_gen = self._decode_batch(np.asarray(outs), batch)
             gens, gts = {}, {}
             for i, (gts_i, gen_i) in enumerate(zip(batch["answers"], answers_gen)):

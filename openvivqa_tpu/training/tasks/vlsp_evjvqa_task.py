@@ -81,8 +81,8 @@ class VlspEvjVqaTask(OpenEndedTask):
     def _predict_split(self, dataloader, out_name: str):
         run = self._generate_fn(dataloader.batch_size, self.evaluating_beam_size)
         results, overall_gens, overall_gts = [], {}, {}
-        for it, batch in enumerate(dataloader):
-            outs, _ = run(self.state.variables(), self.put_batch(batch))
+        for it, (batch, device_batch) in enumerate(self.device_batches(dataloader)):
+            outs, _ = run(self.state.variables(), device_batch)
             answers_gen = self._decode_batch(np.asarray(outs), batch)
             gens, gts = {}, {}
             valid = np.asarray(batch["sample_valid"])
