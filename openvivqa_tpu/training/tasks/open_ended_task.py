@@ -264,8 +264,9 @@ class OpenEndedTask(BaseTask):
 
         running_loss = running_reward = 0.0
         count = 0
-        for batch in self.train_dict_dataloader:
-            device_batch = self.put_batch(batch)
+        # SCST is host-synced per step (CIDEr rewards), but prefetching still
+        # overlaps the next batch's H2D copy with this step's decode
+        for batch, device_batch in self.device_batches(self.train_dict_dataloader):
             outs, _ = run(self.state.variables(), device_batch)
             outs_np = np.asarray(outs)
             bs = outs_np.shape[0]
