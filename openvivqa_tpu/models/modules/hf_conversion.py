@@ -72,6 +72,30 @@ def convert_bert_weights(state_dict: Dict, num_layers: int) -> Dict:
     return {"embeddings": embeddings, "encoder": encoder}
 
 
+def convert_roberta_weights(state_dict: Dict, num_layers: int) -> Dict:
+    """torch RobertaModel / XLMRobertaModel state_dict -> our BERT-stack
+    trees.  Layer layout is identical to BERT; the embeddings differ in two
+    documented ways (text_embeddings.py:303-570 wrappers consume vocab ids
+    directly, so both differences are absorbed here):
+    * RoBERTa position ids start at padding_idx+1 (=2) — rows [2:] of the
+      position table align with our arange(L) positions;
+    * type_vocab_size is 1 — the single type row is duplicated to fill our
+      2-row table (only row 0 is ever read).
+    Caveat: HF RoBERTa numbers positions by cumsum over non-pad tokens;
+    our stack uses arange.  Identical while sequences are left-aligned with
+    trailing padding (this framework's collate invariant) — rows at/after
+    pads differ but are attention-masked.
+    """
+    converted = convert_bert_weights(state_dict, num_layers)
+    positions = _t(state_dict["embeddings.position_embeddings.weight"])[2:]
+    types = _t(state_dict["embeddings.token_type_embeddings.weight"])
+    converted["embeddings"]["Embed_1"] = {"embedding": positions}
+    converted["embeddings"]["Embed_2"] = {
+        "embedding": np.broadcast_to(types[:1], (2, types.shape[1])).copy()
+    }
+    return converted
+
+
 def convert_vit_weights(state_dict: Dict, num_layers: int) -> Dict:
     """torch ViTModel state_dict -> param tree fragments for ViTEmbedding's
     raw-pixel path (patch_embed / cls_token / position_embedding / backbone).

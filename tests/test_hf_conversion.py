@@ -65,6 +65,51 @@ def test_bert_conversion_matches_torch():
     np.testing.assert_allclose(got[valid], want[valid], atol=5e-5)
 
 
+def test_roberta_conversion_matches_torch():
+    """Converted RobertaModel weights reproduce torch last_hidden_state
+    through our stack (positions re-based from RoBERTa's +2 offset)."""
+    from openvivqa_tpu.models.modules.hf_conversion import (
+        convert_roberta_weights,
+    )
+
+    config = transformers.RobertaConfig(
+        vocab_size=120,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=42,  # 40 usable + offset 2
+        type_vocab_size=1,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        pad_token_id=1,
+    )
+    torch.manual_seed(2)
+    hf = transformers.RobertaModel(config, add_pooling_layer=False)
+    hf.eval()
+
+    rng = np.random.default_rng(2)
+    tokens = rng.integers(4, 120, size=(2, 9)).astype(np.int64)
+
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(tokens)).last_hidden_state.numpy()
+
+    params = convert_roberta_weights(hf.state_dict(), num_layers=2)
+    embeddings = BertEmbeddings(
+        vocab_size=120, hidden_size=32, max_position_embeddings=40, dropout=0.0
+    )
+    encoder = BertEncoderStack(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        dropout=0.0,
+    )
+    tokens_j = jnp.asarray(tokens.astype(np.int32))
+    embedded = embeddings.apply({"params": params["embeddings"]}, tokens_j)
+    got = np.asarray(
+        encoder.apply({"params": params["encoder"]}, embedded)
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
 def test_vit_conversion_matches_torch():
     """ViTEmbedding's raw-pixel path with converted HF ViTModel weights
     reproduces torch end-to-end (backbone last_hidden_state -> proj ->
