@@ -144,6 +144,33 @@ def convert_vit_weights(state_dict: Dict, num_layers: int) -> Dict:
     }
 
 
+def seed_text_backbone(params: Dict, converted: Dict) -> Dict:
+    """Graft a converted {'embeddings','encoder'} pair (from
+    convert_bert_weights / convert_roberta_weights) into a pretrained text
+    wrapper's param tree (pretrained_embeddings._FrozenTextBackboneEmbedding:
+    BertEmbeddings_0 + BertEncoderStack_0 + projection).  Vocab and position
+    tables smaller than the wrapper's (default 30522/512) are zero-padded;
+    larger ones are truncated."""
+    embeddings = {key: dict(val) for key, val in converted["embeddings"].items()}
+    for key in ("Embed_0", "Embed_1"):
+        table = np.asarray(embeddings[key]["embedding"])
+        target_rows = np.asarray(
+            params["BertEmbeddings_0"][key]["embedding"]
+        ).shape[0]
+        if table.shape[0] < target_rows:
+            pad = np.zeros(
+                (target_rows - table.shape[0], table.shape[1]), table.dtype
+            )
+            table = np.concatenate([table, pad], axis=0)
+        elif table.shape[0] > target_rows:
+            table = table[:target_rows]
+        embeddings[key] = {"embedding": table}
+    out = dict(params)
+    out["BertEmbeddings_0"] = embeddings
+    out["BertEncoderStack_0"] = converted["encoder"]
+    return out
+
+
 def load_hf_bert_params(
     name_or_path: str, num_layers: Optional[int] = None
 ) -> Optional[Dict]:

@@ -110,6 +110,61 @@ def test_roberta_conversion_matches_torch():
     np.testing.assert_allclose(got, want, atol=5e-5)
 
 
+def test_seed_text_backbone_wrapper():
+    """seed_text_backbone grafts converted weights into the registered
+    text-wrapper param tree (vocab/position tables padded to wrapper
+    sizes); the seeded wrapper reproduces torch through its projection."""
+    from openvivqa_tpu.builders import build_text_embedding, populate
+    from openvivqa_tpu.config import ConfigNode
+    from openvivqa_tpu.models.modules.hf_conversion import (
+        convert_roberta_weights,
+        seed_text_backbone,
+    )
+
+    populate()
+    config = transformers.RobertaConfig(
+        vocab_size=130, hidden_size=48, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=192,
+        max_position_embeddings=34, type_vocab_size=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+        pad_token_id=1,
+    )
+    torch.manual_seed(4)
+    hf = transformers.RobertaModel(config, add_pooling_layer=False)
+    hf.eval()
+
+    class V:
+        padding_idx = 0
+
+        def __len__(self):
+            return 130
+
+    wrapper = build_text_embedding(
+        ConfigNode(
+            {"ARCHITECTURE": "XLMRobertaEmbedding", "D_MODEL": 24,
+             "D_PRETRAINED_FEATURE": 48, "PRETRAINED_LAYERS": 2,
+             "DROPOUT": 0.0}
+        ),
+        V(),
+    )
+    tokens = np.random.default_rng(4).integers(4, 130, (2, 8)).astype(np.int32)
+    variables = jax.jit(wrapper.init)(jax.random.PRNGKey(0), jnp.asarray(tokens))
+    params = seed_text_backbone(
+        dict(variables["params"]),
+        convert_roberta_weights(hf.state_dict(), num_layers=2),
+    )
+    out, _ = wrapper.apply(
+        {"params": jax.tree.map(jnp.asarray, params)}, jnp.asarray(tokens)
+    )
+
+    with torch.no_grad():
+        lhs = hf(input_ids=torch.tensor(tokens.astype(np.int64))).last_hidden_state
+    kernel = np.asarray(params["Dense_0"]["kernel"])
+    bias = np.asarray(params["Dense_0"]["bias"])
+    want = jax.nn.gelu(jnp.asarray(lhs.numpy()) @ kernel + bias, approximate=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=2e-3)
+
+
 def test_vit_conversion_matches_torch():
     """ViTEmbedding's raw-pixel path with converted HF ViTModel weights
     reproduces torch end-to-end (backbone last_hidden_state -> proj ->
