@@ -94,17 +94,24 @@ class _IterativeM4CBase(MMF_M4C):
     def setup(self):
         super().setup()
         c = self.config
+        # the reference iterative file uses nn.Identity() unconditionally
+        # (mmf_iterative_m4c.py:37) — project only when the text hidden size
+        # actually differs (where the reference would crash)
+        self.uses_text_proj = c.TEXT_BERT.HIDDEN_SIZE != self.hidden_size
         enc = c.get("ENCODER") or c.MMT
         dec = c.get("DECODER") or c.MMT
         self.joint_encoder = BertEncoderStack(
             hidden_size=self.hidden_size,
             num_layers=enc.get("LAYERS", enc.get("NUM_HIDDEN_LAYERS")),
             num_heads=self.num_heads,
+            intermediate_size=enc.get("INTERMEDIATE_SIZE"),
         )
         self.dec_layers = int(dec.get("LAYERS", dec.get("NUM_HIDDEN_LAYERS")))
         self.decoder_layers = [
             BertLayer(
-                self.hidden_size, self.num_heads, cross_attention=True,
+                self.hidden_size, self.num_heads,
+                intermediate_size=dec.get("INTERMEDIATE_SIZE"),
+                cross_attention=True,
                 name=f"dec_layer_{i}",
             )
             for i in range(self.dec_layers)

@@ -203,10 +203,11 @@ def hf_bert_embeddings(sd: StateDict, name: str) -> Dict:
     }
 
 
-def hf_bert_layer(sd: StateDict, name: str) -> Dict:
-    """transformers BertLayer -> our BertLayer tree."""
+def hf_bert_layer(sd: StateDict, name: str, cross_attention: bool = False) -> Dict:
+    """transformers BertLayer -> our BertLayer tree (optionally with the
+    decoder-style crossattention block -> BertSelfAttention_1)."""
     scope = sd.scope(name)
-    return {
+    tree = {
         "BertSelfAttention_0": {
             "Dense_0": linear(scope, "attention.self.query"),
             "Dense_1": linear(scope, "attention.self.key"),
@@ -218,12 +219,33 @@ def hf_bert_layer(sd: StateDict, name: str) -> Dict:
         "Dense_1": linear(scope, "output.dense"),
         "LayerNorm_0": layer_norm(scope, "output.LayerNorm"),
     }
+    if cross_attention:
+        tree["BertSelfAttention_1"] = {
+            "Dense_0": linear(scope, "crossattention.self.query"),
+            "Dense_1": linear(scope, "crossattention.self.key"),
+            "Dense_2": linear(scope, "crossattention.self.value"),
+            "Dense_3": linear(scope, "crossattention.output.dense"),
+            "LayerNorm_0": layer_norm(scope, "crossattention.output.LayerNorm"),
+        }
+    return tree
 
 
 def hf_bert_encoder(sd: StateDict, name: str, n_layers: int) -> Dict:
     scope = sd.scope(name)
     return {
         f"layer_{i}": hf_bert_layer(scope, f"layer.{i}") for i in range(n_layers)
+    }
+
+
+def prev_pred_embeddings(sd: StateDict, name: str) -> Dict:
+    """Reference PrevPredEmbeddings (mmf_m4c.py:399-445) -> our tree."""
+    scope = sd.scope(name)
+    return {
+        "LayerNorm_0": layer_norm(scope, "ans_layer_norm"),
+        "LayerNorm_1": layer_norm(scope, "ocr_layer_norm"),
+        "LayerNorm_2": layer_norm(scope, "emb_layer_norm"),
+        "Embed_0": embedding(scope, "position_embeddings"),
+        "Embed_1": embedding(scope, "token_type_embeddings"),
     }
 
 
@@ -262,14 +284,74 @@ def convert_mmf_m4c(state_dict: Mapping[str, Any], config) -> Dict:
             "ocr_feat_layer_norm", "ocr_bbox_layer_norm",
         ),
         "mmt": {
-            "prev_pred_embeddings": {
-                "LayerNorm_0": layer_norm(sd, "mmt.prev_pred_embeddings.ans_layer_norm"),
-                "LayerNorm_1": layer_norm(sd, "mmt.prev_pred_embeddings.ocr_layer_norm"),
-                "LayerNorm_2": layer_norm(sd, "mmt.prev_pred_embeddings.emb_layer_norm"),
-                "Embed_0": embedding(sd, "mmt.prev_pred_embeddings.position_embeddings"),
-                "Embed_1": embedding(sd, "mmt.prev_pred_embeddings.token_type_embeddings"),
-            },
+            "prev_pred_embeddings": prev_pred_embeddings(
+                sd, "mmt.prev_pred_embeddings"
+            ),
             "encoder": hf_bert_encoder(sd, "mmt.encoder", mmt_layers),
+        },
+        "classifier_kernel": sd["classifier.weight"].T,
+        "classifier_bias": sd["classifier.bias"],
+        "ocr_ptr_net": {
+            "Dense_0": linear(sd, "ocr_ptr_net.query"),
+            "Dense_1": linear(sd, "ocr_ptr_net.key"),
+        },
+    }
+    if "text_bert_out_linear.weight" in sd:
+        params["text_bert_out_linear"] = linear(sd, "text_bert_out_linear")
+    return params
+
+
+def convert_mmf_regional_m4c(state_dict: Mapping[str, Any], config) -> Dict:
+    """MMF_REGIONAL_M4C: MMF_M4C + the grid/"region" stream modules
+    (mmf_regional_m4c.py:29-39).  Weight layout converts exactly; note the
+    reference model itself is broken as checked out (uses undefined
+    _get_mask/_get_causal_mask and mixes additive with 0/1 mask conventions
+    at :187-197), so converted weights run under this framework's
+    consistent-mask semantics."""
+    params = convert_mmf_m4c(state_dict, config)
+    sd = StateDict(state_dict)
+    params["region_encoding"] = feature_box_encoding(
+        sd, "linear_region_feat_to_mmt_in", "linear_region_bbox_to_mmt_in",
+        "region_feat_layer_norm", "region_bbox_layer_norm",
+    )
+    return params
+
+
+def convert_mmf_iterative_m4c(state_dict: Mapping[str, Any], config) -> Dict:
+    """MMF_IterativeM4C / MMF_Iterative_Multilevel_M4C: TextBert + joint
+    BertEncoder + cross-attention BertEncoder decoder
+    (mmf_iterative_m4c.py:14-97).  Verified numerically on pad-free inputs
+    (tests/test_m4c_variants_parity.py); with padding the reference feeds
+    raw 0/1 masks to TextBert as additive biases (:116-123) — a constant
+    +1 column bias, harmless pad-free, buggy otherwise — while this
+    framework masks properly."""
+    sd = StateDict(state_dict)
+    enc = config.get("ENCODER") or config.MMT
+    dec = config.get("DECODER") or config.MMT
+    enc_layers = int(enc.get("LAYERS", enc.get("NUM_HIDDEN_LAYERS", 4)))
+    dec_layers = int(dec.get("LAYERS", dec.get("NUM_HIDDEN_LAYERS", 4)))
+    params = {
+        "text_bert": {
+            "BertEmbeddings_0": hf_bert_embeddings(sd, "text_bert.embeddings"),
+            "BertEncoderStack_0": hf_bert_encoder(
+                sd, "text_bert.encoder", config.TEXT_BERT.NUM_HIDDEN_LAYERS
+            ),
+        },
+        "obj_encoding": feature_box_encoding(
+            sd, "linear_obj_feat_to_mmt_in", "linear_obj_bbox_to_mmt_in",
+            "obj_feat_layer_norm", "obj_bbox_layer_norm",
+        ),
+        "ocr_encoding": feature_box_encoding(
+            sd, "linear_ocr_feat_to_mmt_in", "linear_ocr_bbox_to_mmt_in",
+            "ocr_feat_layer_norm", "ocr_bbox_layer_norm",
+        ),
+        "joint_encoder": hf_bert_encoder(sd, "encoder", enc_layers),
+        "dec_embeddings": prev_pred_embeddings(sd, "prev_pred_embeddings"),
+        **{
+            f"dec_layer_{i}": hf_bert_layer(
+                sd, f"decoder.layer.{i}", cross_attention=True
+            )
+            for i in range(dec_layers)
         },
         "classifier_kernel": sd["classifier.weight"].T,
         "classifier_bias": sd["classifier.bias"],
@@ -289,6 +371,9 @@ MODEL_CONVERTERS = {
     "MCAN": convert_mcan,
     "MMF_M4C": convert_mmf_m4c,
     "MMF_ImprovedDecodingM4C": convert_mmf_m4c,
+    "MMF_REGIONAL_M4C": convert_mmf_regional_m4c,
+    "MMF_IterativeM4C": convert_mmf_iterative_m4c,
+    "MMF_Iterative_Multilevel_M4C": convert_mmf_iterative_m4c,
 }
 
 

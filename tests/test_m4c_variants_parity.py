@@ -1,0 +1,301 @@
+"""M4C-variant checkpoint conversion parity.
+
+* MMF_IterativeM4C: full numerical parity vs the reference torch model on
+  pad-free inputs (the reference feeds raw 0/1 masks to TextBert as
+  additive biases, mmf_iterative_m4c.py:116-123 — a constant column bias
+  that softmax cancels when nothing is padded).  The reference file also
+  uses _get_mask/_get_causal_mask it never defines (NameError as checked
+  out); faithful copies are injected here to make it runnable.
+* MMF_REGIONAL_M4C: the reference's forward is unrunnable AND mixes mask
+  conventions (mmf_regional_m4c.py:187-197), so the converter is validated
+  structurally: converted tree leaf-for-leaf matches our model init and the
+  migrated model runs teacher-forcing + incremental greedy.
+"""
+
+import importlib
+import sys
+import types
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openvivqa_tpu.builders import populate
+from openvivqa_tpu.config import ConfigNode
+
+populate()
+torch = pytest.importorskip("torch")
+
+H, HEADS, VOCAB, MAXA = 32, 4, 25, 5
+N_OBJ, N_OCR, N_GRID, QLEN = 4, 3, 5, 6
+
+
+class RefVocab:
+    padding_idx, bos_idx, eos_idx, unk_idx = 0, 1, 2, 3
+    max_answer_length = MAXA
+
+    def __len__(self):
+        return VOCAB
+
+
+def _ns(d):
+    if isinstance(d, dict):
+        return SimpleNamespace(**{k: _ns(v) for k, v in d.items()})
+    return d
+
+
+def _ref_get_mask(nums, max_num):
+    batch_size = nums.size(0)
+    arange = torch.arange(0, max_num).unsqueeze(0).expand(batch_size, -1)
+    return arange.to(nums.device).lt(nums.unsqueeze(-1)).float()
+
+
+def _ref_get_causal_mask(seq_length, device):
+    return torch.tril(torch.ones(seq_length, seq_length, device=device))
+
+
+@pytest.fixture(scope="module")
+def refpkg():
+    """Import reference model files as a package so their relative imports
+    resolve; stub the registry/logging; inject the missing mask helpers."""
+    import logging
+
+    class FakeRegistry:
+        def register(self, obj=None, **kw):
+            return (lambda cls: cls) if obj is None else obj
+
+    def ensure(name, **attrs):
+        mod = sys.modules.get(name) or types.ModuleType(name)
+        for key, value in attrs.items():
+            setattr(mod, key, value)
+        sys.modules[name] = mod
+
+    ensure("utils")
+    ensure("utils.logging_utils",
+           setup_logger=lambda *a, **k: logging.getLogger("ref"))
+    ensure("builders")
+    ensure("builders.model_builder", META_ARCHITECTURE=FakeRegistry())
+    ensure("models")
+    ensure("data_utils")
+    ensure("data_utils.types", TensorOrSequence=object, TensorOrNone=object)
+    if "models.utils" not in sys.modules:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "models.utils", "/root/reference/models/utils.py"
+        )
+        module = importlib.util.module_from_spec(spec)
+        sys.modules["models.utils"] = module
+        spec.loader.exec_module(module)
+
+    pkg = types.ModuleType("refpkg")
+    pkg.__path__ = ["/root/reference/models"]
+    sys.modules["refpkg"] = pkg
+    iterative = importlib.import_module("refpkg.mmf_iterative_m4c")
+    regional = sys.modules["refpkg.mmf_regional_m4c"]
+    for mod in (iterative, regional):
+        mod._get_mask = _ref_get_mask
+        mod._get_causal_mask = _ref_get_causal_mask
+    # TextBert is used but never imported in mmf_iterative_m4c.py (another
+    # NameError as checked out).  The file also feeds the raw (bs, L) 0/1
+    # mask to BertEncoder as the extended additive mask, which cannot
+    # broadcast in any transformers version — keep the 0/1-as-additive quirk
+    # but reshape to (bs, 1, 1, L) so it runs (constant column bias, which
+    # softmax cancels on the pad-free inputs used here).
+    class _RunnableTextBert(sys.modules["refpkg.mmf_m4c"].TextBert):
+        def forward(self, txt_inds, txt_mask):
+            return super().forward(txt_inds, txt_mask[:, None, None, :])
+
+    iterative.TextBert = _RunnableTextBert
+
+    # same story for the pointer net: the file passes the (bs, K) 0/1 mask
+    # where OcrPtrNet expects (bs, 1, K) — unrunnable as checked out.  The
+    # minimal shim preserves the file's quirk of ADDING the 0/1 values to
+    # the raw pointer logits (+1 on every valid OCR score).
+    class _RunnableOcrPtrNet(sys.modules["refpkg.mmf_m4c"].OcrPtrNet):
+        def forward(self, query_inputs, key_inputs, attention_mask):
+            return super().forward(
+                query_inputs, key_inputs, attention_mask[:, None, None, :]
+            )
+
+    iterative.OcrPtrNet = _RunnableOcrPtrNet
+
+    # the reference builds BertEncoder from a raw BertConfig (not through
+    # BertPreTrainedModel), which leaves _attn_implementation unset in
+    # modern transformers — pin the eager path
+    from transformers.models.bert.modeling_bert import BertConfig
+
+    class _EagerBertConfig(BertConfig):
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, **kwargs)
+            self._attn_implementation = "eager"
+
+    iterative.BertConfig = _EagerBertConfig
+    return SimpleNamespace(iterative=iterative, regional=regional)
+
+
+def _iterative_config():
+    return {
+        "ARCHITECTURE": "MMF_IterativeM4C",
+        "DEVICE": "cpu",
+        "D_MODEL": H,
+        "DROPOUT": 0.0,
+        "HIDDEN_SIZE": H,
+        "MMT": {"HIDDEN_SIZE": H, "NUM_ATTENTION_HEADS": HEADS},
+        "ENCODER": {"D_MODEL": H, "HEAD": HEADS, "LAYERS": 2,
+                    "DROPOUT": 0.0, "INTERMEDIATE_SIZE": 3072},
+        "DECODER": {"D_MODEL": H, "HEAD": HEADS, "LAYERS": 2, "DROPOUT": 0.0,
+                    "INTERMEDIATE_SIZE": 3072},
+        "TEXT_BERT": {"HIDDEN_SIZE": H, "NUM_HIDDEN_LAYERS": 1,
+                      "NUM_ATTENTION_HEADS": HEADS, "LOAD_PRETRAINED": False,
+                      "INTERMEDIATE_SIZE": 3072},
+        # the reference's _build_*_encoding reads D_MODEL/DROPOUT from the
+        # sub-node (mmf_iterative_m4c.py:40-65)
+        "OBJECT_EMBEDDING": {"D_FEATURE": 20, "D_MODEL": H, "DROPOUT": 0.0},
+        "OCR_EMBEDDING": {"D_FEATURE": 300 + 256 + 16, "D_MODEL": H,
+                          "DROPOUT": 0.0},
+        "OCR_PTR_NET": {"HIDDEN_SIZE": H, "QUERY_KEY_SIZE": 16},
+    }
+
+
+class Items(dict):
+    def __getattr__(self, key):
+        return self[key]
+
+
+def _padfree_inputs():
+    rng = np.random.default_rng(17)
+    bs = 2
+    return dict(
+        question_tokens=rng.integers(4, VOCAB, (bs, QLEN)).astype(np.int64),
+        region_features=rng.normal(size=(bs, N_OBJ, 20)).astype(np.float32),
+        region_boxes=rng.uniform(size=(bs, N_OBJ, 4)).astype(np.float32),
+        ocr_fasttext_features=rng.normal(size=(bs, N_OCR, 300)).astype(np.float32),
+        ocr_rec_features=rng.normal(size=(bs, N_OCR, 256)).astype(np.float32),
+        ocr_det_features=rng.normal(size=(bs, N_OCR, 16)).astype(np.float32),
+        ocr_boxes=rng.uniform(size=(bs, N_OCR, 4)).astype(np.float32),
+        grid_features=rng.normal(size=(bs, N_GRID, 24)).astype(np.float32),
+        grid_boxes=rng.uniform(size=(bs, N_GRID, 4)).astype(np.float32),
+        answer_tokens=rng.integers(4, VOCAB + N_OCR, (bs, MAXA)).astype(np.int64),
+    )
+
+
+def test_iterative_m4c_conversion_parity(refpkg):
+    torch.manual_seed(11)
+    vocab = RefVocab()
+    ref_model = refpkg.iterative.MMF_IterativeM4C(
+        _ns(_iterative_config()), vocab
+    )
+    ref_model.eval()
+
+    from openvivqa_tpu.models.mmf_variants import MMF_IterativeM4C
+    from openvivqa_tpu.models.modules.torch_conversion import (
+        convert_reference_checkpoint,
+    )
+
+    config = ConfigNode(_iterative_config())
+    ours = MMF_IterativeM4C(config, vocab)
+    params = jax.tree.map(
+        jnp.asarray,
+        convert_reference_checkpoint(ref_model.state_dict(), config),
+    )
+
+    inputs = _padfree_inputs()
+    items = Items({k: torch.tensor(v) for k, v in inputs.items()})
+    batch = {
+        k: jnp.asarray(v.astype(np.int32) if v.dtype == np.int64 else v)
+        for k, v in inputs.items()
+    }
+
+    # teacher-forced path, eval mode (train() would enable the HF-default
+    # attention dropout and break determinism)
+    with torch.no_grad():
+        fwd = {}
+        ref_model._forward_txt_encoding(items, fwd)
+        ref_model._forward_obj_encoding(items, fwd)
+        ref_model._forward_ocr_encoding(items, fwd)
+        ref_model._forward_encoder(items, fwd)
+        fwd["fixed_ans_emb"] = ref_model.classifier.weight
+        fwd["prev_inds"] = items.answer_tokens.clone()
+        ref_model._forward_decoder(items, fwd)
+        ref_model._forward_output(items, fwd)
+        want = fwd["scores"].numpy()
+    got = np.asarray(
+        ours.apply({"params": params}, batch, train=False)["scores"]
+    )
+    # fixed-vocab scores match exactly; the reference's dynamic scores carry
+    # its +1-on-valid pointer quirk (see fixture) — ours differ by that
+    # constant and nothing else
+    np.testing.assert_allclose(got[..., :VOCAB], want[..., :VOCAB], atol=3e-4)
+    np.testing.assert_allclose(
+        got[..., VOCAB:], want[..., VOCAB:] - 1.0, atol=3e-4
+    )
+
+    # our incremental KV-cached greedy is exact vs our quadratic greedy for
+    # this topology (the encoder never sees decoder tokens)
+    incremental = MMF_IterativeM4C(
+        config.merged({"DECODING_MODE": "incremental"}), vocab
+    )
+    quadratic = MMF_IterativeM4C(config, vocab)
+    inc = incremental.apply({"params": params}, batch, method="greedy_decode")
+    quad = quadratic.apply({"params": params}, batch, method="greedy_decode")
+    np.testing.assert_array_equal(
+        np.asarray(inc["prev_inds"]), np.asarray(quad["prev_inds"])
+    )
+
+
+def test_regional_m4c_conversion_structural(refpkg):
+    """REGIONAL: reference forward is broken as checked out, so validate the
+    converted tree leaf-for-leaf against our init and run our forward."""
+    torch.manual_seed(12)
+    vocab = RefVocab()
+    config_dict = {
+        "ARCHITECTURE": "MMF_REGIONAL_M4C",
+        "DEVICE": "cpu",
+        "D_MODEL": H,
+        "MMT": {"HIDDEN_SIZE": H, "NUM_HIDDEN_LAYERS": 2,
+                "NUM_ATTENTION_HEADS": HEADS, "INTERMEDIATE_SIZE": 3072},
+        "TEXT_BERT": {"HIDDEN_SIZE": H, "NUM_HIDDEN_LAYERS": 1,
+                      "LOAD_PRETRAINED": False, "INTERMEDIATE_SIZE": 3072},
+        "OBJECT_EMBEDDING": {"D_FEATURE": 20, "DROPOUT": 0.0},
+        "REGION_EMBEDDING": {"D_FEATURE": 24, "DROPOUT": 0.0},
+        "OCR_EMBEDDING": {"D_FEATURE": 300 + 256 + 16, "DROPOUT": 0.0},
+        "OCR_PTR_NET": {"HIDDEN_SIZE": H, "QUERY_KEY_SIZE": 16},
+    }
+    ref_model = refpkg.regional.MMF_REGIONAL_M4C(_ns(config_dict), vocab)
+
+    from openvivqa_tpu.models.mmf_variants import MMF_REGIONAL_M4C
+    from openvivqa_tpu.models.modules.torch_conversion import (
+        convert_reference_checkpoint,
+    )
+
+    config = ConfigNode(config_dict).merged({"DECODING_MODE": "incremental"})
+    ours = MMF_REGIONAL_M4C(config, vocab)
+    converted = convert_reference_checkpoint(ref_model.state_dict(), config)
+
+    inputs = _padfree_inputs()
+    batch = {
+        k: jnp.asarray(v.astype(np.int32) if v.dtype == np.int64 else v)
+        for k, v in inputs.items()
+    }
+    shapes = jax.eval_shape(
+        lambda r: ours.init({"params": r, "dropout": r}, batch, train=False),
+        jax.random.PRNGKey(0),
+    )["params"]
+    want = {
+        jax.tree_util.keystr(p): leaf.shape
+        for p, leaf in jax.tree_util.tree_leaves_with_path(shapes)
+    }
+    got = {
+        jax.tree_util.keystr(p): np.asarray(leaf).shape
+        for p, leaf in jax.tree_util.tree_leaves_with_path(converted)
+    }
+    assert want == got
+
+    params = jax.tree.map(jnp.asarray, converted)
+    scores = ours.apply({"params": params}, batch, train=False)["scores"]
+    assert np.isfinite(np.asarray(scores)).all()
+    out = ours.apply({"params": params}, batch, method="greedy_decode")
+    assert out["prev_inds"].shape == (2, MAXA)
