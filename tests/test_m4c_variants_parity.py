@@ -13,6 +13,7 @@
 """
 
 import importlib
+import importlib.util
 import sys
 import types
 from types import SimpleNamespace
@@ -81,8 +82,6 @@ def refpkg():
     ensure("data_utils")
     ensure("data_utils.types", TensorOrSequence=object, TensorOrNone=object)
     if "models.utils" not in sys.modules:
-        import importlib.util
-
         spec = importlib.util.spec_from_file_location(
             "models.utils", "/root/reference/models/utils.py"
         )
