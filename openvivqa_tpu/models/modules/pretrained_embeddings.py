@@ -197,6 +197,18 @@ class PhoBERTModel(_FrozenCausalLM):
     pass
 
 
+@META_PRETRAINED_LANGUAGE_MODEL.register()
+class BARTPhoModel(_FrozenCausalLM):
+    """Empty stub in the reference (language_models.py:177-179); registered
+    here as a working frozen-LM so configs naming it run."""
+
+
+@META_PRETRAINED_LANGUAGE_MODEL.register()
+class GPT2Model(_FrozenCausalLM):
+    """Empty stub in the reference (language_models.py:180-181); see
+    BARTPhoModel."""
+
+
 def try_load_hf_weights(name: str):
     """Best-effort local HF weight loading (no network egress here)."""
     try:
