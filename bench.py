@@ -112,7 +112,10 @@ def main():
         return carry
 
     float(eval_chain(params, batch, 2))  # compile small chain (warmup)
-    n_iters = 30
+    # 200 chained batches amortize the one dispatch+fetch round trip (~20ms
+    # over the tunnel) to noise: measured 2.79 ms/iter at n=30 vs 2.00 at
+    # n=200 — the latter is the true steady-state device throughput
+    n_iters = 200
     float(eval_chain(params, batch, n_iters))  # compile the timed chain
     start = time.perf_counter()
     float(eval_chain(params, batch, n_iters))
