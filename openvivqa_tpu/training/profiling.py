@@ -32,7 +32,12 @@ def maybe_trace(profile_dir: Optional[str], enabled: bool = True) -> Iterator[No
 
 
 class StepTimer:
-    """Host-side per-step latency tracker."""
+    """Host-side per-step latency tracker.
+
+    Note: since the task loops went async (losses accumulate on device,
+    no per-step sync), these percentiles measure DISPATCH latency, not
+    device step time — the epoch's wall-clock 'seconds' field is the
+    end-to-end truth; use TRAINING.PROFILE_DIR traces for device time."""
 
     def __init__(self) -> None:
         self.durations = []
