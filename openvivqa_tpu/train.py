@@ -54,13 +54,20 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-file", type=str, required=True)
     parser.add_argument("--opts", nargs="*", default=None)
+    parser.add_argument(
+        "--eval-only",
+        action="store_true",
+        help="skip training; evaluate the existing best_model.pth on the "
+        "test split (e.g. right after tools/migrate_checkpoint)",
+    )
     args = parser.parse_args(argv)
 
     _enable_compilation_cache()
     populate()
     config = get_config(args.config_file, _parse_opts(args.opts))
     task = build_task(config)
-    task.start()
+    if not args.eval_only:
+        task.start()
     task.get_predictions()
     logger.info("Task done.")
 
