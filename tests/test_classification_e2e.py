@@ -161,3 +161,29 @@ def test_transfer_dtype_bf16(synthetic_data, tmp_path):
     assert floats, "no float arrays were cast to bfloat16"
     task.start()
     assert task.epoch >= 1
+
+
+def test_eval_only_cli(synthetic_data, tmp_path):
+    """train.py --eval-only: evaluates an existing best checkpoint without
+    training; errors clearly when none exists."""
+    import yaml
+
+    from openvivqa_tpu.train import main
+
+    config = ConfigNode(_saaa_config(synthetic_data, tmp_path)).merged(
+        {"MODEL": {"NAME": "saaa_evalonly"}, "TRAINING": {"MAX_EPOCHS": 1}}
+    )
+    yaml_path = tmp_path / "evalonly.yaml"
+    yaml_path.write_text(yaml.safe_dump(config.to_dict()))
+
+    # no checkpoint yet -> clear error
+    with pytest.raises(FileNotFoundError, match="best_model"):
+        main(["--config-file", str(yaml_path), "--eval-only"])
+
+    main(["--config-file", str(yaml_path)])  # train once
+    results = (
+        tmp_path / "saved_models" / "saaa_evalonly" / "test_results.json"
+    )
+    before = results.stat().st_mtime
+    main(["--config-file", str(yaml_path), "--eval-only"])  # re-eval only
+    assert results.stat().st_mtime >= before
