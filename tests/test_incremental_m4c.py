@@ -104,6 +104,9 @@ VARIANTS = [
     ("MMF_SAL", {}, True),
     ("MMF_IterativeM4C", {}, False),
     ("MMF_Iterative_Multilevel_M4C", {}, False),
+    # its masked-future prev_inds update is a no-op under causal+blind
+    # masking, so incremental is exact for it too
+    ("MMF_ImprovedDecodingM4C", {}, True),
 ]
 
 
