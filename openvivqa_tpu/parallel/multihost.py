@@ -9,6 +9,7 @@ generation/ground-truth dicts before the host-side metric computation.
 from __future__ import annotations
 
 import os
+import pickle
 from typing import Dict, Tuple
 
 import jax
@@ -47,16 +48,42 @@ def gather_eval_dicts(
     gts: Dict, gens: Dict
 ) -> Tuple[Dict, Dict]:
     """Merge per-host eval dicts onto every host (metrics are host-side
-    string ops; SURVEY.md §5.8).  Single-process: identity."""
+    string ops; SURVEY.md §5.8).  Single-process: identity.
+
+    The dicts carry Python strings, which `process_allgather` cannot ship
+    directly (it only supports array pytrees), so each host pickles its
+    (gts, gens) pair into a uint8 blob, blobs are right-padded to the
+    all-host max length, gathered, then sliced back and unpickled.
+    """
     if jax.process_count() == 1:
         return gts, gens
-    from jax.experimental import multihost_utils
-
-    all_pairs = multihost_utils.process_allgather((gts, gens), tiled=False)
+    blobs = _allgather_blobs(pickle.dumps((gts, gens)))
     merged_gts, merged_gens = {}, {}
-    for host_id, (host_gts, host_gens) in enumerate(zip(*all_pairs)):
+    for host_id, blob in enumerate(blobs):
+        host_gts, host_gens = pickle.loads(blob)
         for key, value in host_gts.items():
             merged_gts[f"h{host_id}_{key}"] = value
         for key, value in host_gens.items():
             merged_gens[f"h{host_id}_{key}"] = value
     return merged_gts, merged_gens
+
+
+def _allgather_blobs(payload: bytes) -> list:
+    """All-gather one bytes payload per host; returns process_count blobs
+    in process order.  Two collectives: lengths, then max-padded bodies
+    (process_allgather stacks along a new leading host axis)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    length = np.asarray(len(payload), np.int64)
+    lengths = np.asarray(
+        multihost_utils.process_allgather(length)
+    ).reshape(-1)
+    max_len = int(lengths.max())
+    padded = np.zeros((max_len,), np.uint8)
+    padded[: len(payload)] = np.frombuffer(payload, np.uint8)
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    gathered = gathered.reshape(len(lengths), max_len)
+    return [
+        gathered[i, : int(lengths[i])].tobytes() for i in range(len(lengths))
+    ]

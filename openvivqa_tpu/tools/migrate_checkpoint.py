@@ -38,6 +38,7 @@ def migrate(config, torch_checkpoint: str, also_best: bool = False) -> str:
     from ..logging_utils import setup_logger
     from ..models.modules.torch_conversion import convert_reference_checkpoint
     from ..training.checkpoint import BEST_NAME, LAST_NAME
+    from ..training.checkpoint import promote as checkpoint_promote
 
     logger = setup_logger()
     populate()
@@ -84,7 +85,7 @@ def migrate(config, torch_checkpoint: str, also_best: bool = False) -> str:
     logger.info("Wrote migrated checkpoint to %s (epoch %d)", last, task.epoch)
     if also_best:
         best = os.path.join(task.checkpoint_path, BEST_NAME)
-        shutil.copyfile(last, best)
+        checkpoint_promote(last, best)
         logger.info("Copied to %s", best)
     return last
 

@@ -25,6 +25,23 @@ def _backend() -> str:
     return os.environ.get("OPENVIVQA_CKPT_BACKEND", "flax").lower()
 
 
+def promote(src_path: str, dst_path: str) -> None:
+    """Copy a checkpoint file (best-model promotion, base_task.py:274-276
+    parity).  Under the orbax backend the `.pth` file is only the host
+    metadata pickle; the state lives in a sibling `.orbax` directory which
+    must be copied too, otherwise load_checkpoint(best) falls back to the
+    flax branch and fails."""
+    import shutil
+
+    shutil.copyfile(src_path, dst_path)
+    src_orbax = _orbax_dir(src_path)
+    if os.path.isdir(src_orbax):
+        dst_orbax = _orbax_dir(dst_path)
+        if os.path.isdir(dst_orbax):
+            shutil.rmtree(dst_orbax)
+        shutil.copytree(src_orbax, dst_orbax)
+
+
 def save_checkpoint(
     path: str, state_pytree: Any, metadata: Dict[str, Any]
 ) -> None:

@@ -12,7 +12,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from shutil import copyfile
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,7 @@ from ...builders import META_TASK, build_dataset
 from ...data.loader import DataLoader
 from ...evaluation import compute_scores
 from ...logging_utils import setup_logger
-from ..checkpoint import BEST_NAME, LAST_NAME
+from ..checkpoint import BEST_NAME, LAST_NAME, promote
 from ..optim import constant_lambda_schedule
 from ..train_state import nll_loss
 from .base_task import BaseTask
@@ -197,7 +196,7 @@ class ClassificationTask(BaseTask):
                 {"best_val_score": best_val_score, "patience": patience}
             )
             if best:
-                copyfile(
+                promote(
                     os.path.join(self.checkpoint_path, LAST_NAME),
                     os.path.join(self.checkpoint_path, BEST_NAME),
                 )

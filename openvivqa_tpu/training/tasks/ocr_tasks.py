@@ -19,7 +19,6 @@ import itertools
 import json
 import os
 import time
-from shutil import copyfile
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +28,7 @@ from ...builders import META_TASK, build_dataset
 from ...data.loader import DataLoader
 from ...evaluation import compute_scores
 from ...logging_utils import setup_logger
-from ..checkpoint import BEST_NAME, LAST_NAME
+from ..checkpoint import BEST_NAME, LAST_NAME, promote
 from ..optim import constant_lambda_schedule
 from ..train_state import nll_loss
 from .base_task import BaseTask
@@ -44,15 +43,19 @@ class OcrOpenEndedTask(OpenEndedTask):
     per-sample OCR tables (ocr_open_ended_task.py:33-34)."""
 
     def _decode_batch(self, outs: np.ndarray, batch=None):
-        ocr_tokens = batch["ocr_tokens"] if batch is not None else []
-        n = outs.reshape(-1, self.vocab.max_answer_length).shape[0]
-        if len(ocr_tokens) < n:  # batch-dim padding rows reuse the last table
-            ocr_tokens = list(ocr_tokens) + [ocr_tokens[-1]] * (n - len(ocr_tokens))
-        token_lists = self.vocab.decode_answer(
-            outs.reshape(-1, self.vocab.max_answer_length),
-            ocr_tokens,
-            join_words=False,
-        )
+        ocr_tokens = list(batch["ocr_tokens"]) if batch is not None else []
+        flat = outs.reshape(-1, self.vocab.max_answer_length)
+        n = flat.shape[0]
+        # out_size>1 (the SCST beam-sample path) arrives as (n_samples, k, L):
+        # row r belongs to sample r // k, so each sample's OCR table must be
+        # repeated k times before decode — NOT taken row-for-row.
+        n_samples = outs.shape[0] if outs.ndim == 3 else n
+        reps = max(n // max(n_samples, 1), 1)
+        ocr_tokens = [t for t in ocr_tokens[:n_samples] for _ in range(reps)]
+        if ocr_tokens and len(ocr_tokens) < n:
+            # batch-dim padding rows (sample_valid False) reuse the last table
+            ocr_tokens += [ocr_tokens[-1]] * (n - len(ocr_tokens))
+        token_lists = self.vocab.decode_answer(flat, ocr_tokens, join_words=False)
         return [
             " ".join(k for k, _ in itertools.groupby(tokens))
             for tokens in token_lists
@@ -343,7 +346,7 @@ class MmfClassificationTask(BaseTask):
                 {"best_val_score": best_val_score, "patience": patience}
             )
             if best:
-                copyfile(
+                promote(
                     os.path.join(self.checkpoint_path, LAST_NAME),
                     os.path.join(self.checkpoint_path, BEST_NAME),
                 )

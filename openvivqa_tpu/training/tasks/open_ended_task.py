@@ -14,7 +14,6 @@ import itertools
 import json
 import os
 import time
-from shutil import copyfile
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +23,7 @@ from ...builders import META_TASK, build_dataset
 from ...data.loader import DataLoader
 from ...evaluation import Cider, compute_scores
 from ...logging_utils import setup_logger
-from ..checkpoint import BEST_NAME, LAST_NAME
+from ..checkpoint import BEST_NAME, LAST_NAME, promote
 from ..decode import generate
 from ..optim import constant_lambda_schedule
 from ..train_state import nll_loss
@@ -253,7 +252,13 @@ class OpenEndedTask(BaseTask):
                 )
                 tok_lp = jnp.take_along_axis(logprobs, flat[..., None], -1)[..., 0]
                 mask = (flat != self.vocab.padding_idx).astype(tok_lp.dtype)
-                seq_lp = jnp.sum(tok_lp * mask, -1) / jnp.maximum(mask.sum(-1), 1.0)
+                # reference scales by mean over max_len (open_ended_task.py:197
+                # `-torch.mean(log_probs, -1)`), so short answers get
+                # proportionally smaller gradients; divide by the static L,
+                # not the per-sample token count.  (Loss *value* still differs
+                # from the reference, whose post-eos slots hold constant -999
+                # fills instead of masked zeros — gradients are identical.)
+                seq_lp = jnp.sum(tok_lp * mask, -1) / float(flat.shape[1])
                 return jnp.mean(-seq_lp.reshape(bs, k) * advantages)
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
@@ -366,7 +371,7 @@ class OpenEndedTask(BaseTask):
                 }
             )
             if best:
-                copyfile(
+                promote(
                     os.path.join(self.checkpoint_path, LAST_NAME),
                     os.path.join(self.checkpoint_path, BEST_NAME),
                 )

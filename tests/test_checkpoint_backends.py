@@ -45,3 +45,40 @@ def test_orbax_backend(tmp_path, monkeypatch):
     monkeypatch.setenv("OPENVIVQA_CKPT_BACKEND", "orbax")
     _roundtrip(tmp_path)
     assert os.path.isdir(str(tmp_path / "last_model.pth.orbax"))
+
+
+def test_orbax_best_promotion(tmp_path, monkeypatch):
+    """promote() must carry the .orbax state dir along with the metadata
+    pickle, or load_checkpoint(best) falls into the flax branch (ADVICE r1)."""
+    pytest.importorskip("orbax.checkpoint")
+    monkeypatch.setenv("OPENVIVQA_CKPT_BACKEND", "orbax")
+    from openvivqa_tpu.training.checkpoint import promote
+
+    state = _state().replace(step=jnp.asarray(11))
+    last = str(tmp_path / "last_model.pth")
+    best = str(tmp_path / "best_model.pth")
+    save_checkpoint(last, state, {"epoch": 1})
+    promote(last, best)
+    assert os.path.isdir(best + ".orbax")
+    result = load_checkpoint(best, _state())
+    assert int(result["state"].step) == 11
+
+    # re-promotion overwrites a stale best dir
+    state2 = _state().replace(step=jnp.asarray(12))
+    save_checkpoint(last, state2, {"epoch": 2})
+    promote(last, best)
+    result = load_checkpoint(best, _state())
+    assert int(result["state"].step) == 12
+
+
+def test_flax_promotion(tmp_path, monkeypatch):
+    monkeypatch.delenv("OPENVIVQA_CKPT_BACKEND", raising=False)
+    from openvivqa_tpu.training.checkpoint import promote
+
+    state = _state().replace(step=jnp.asarray(5))
+    last = str(tmp_path / "last_model.pth")
+    best = str(tmp_path / "best_model.pth")
+    save_checkpoint(last, state, {"epoch": 0})
+    promote(last, best)
+    result = load_checkpoint(best, _state())
+    assert int(result["state"].step) == 5

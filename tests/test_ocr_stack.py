@@ -276,3 +276,31 @@ def test_iterative_m4c_forward_and_beam():
     )({"params": variables["params"]}, batch)
     assert outs.shape == (2, vocab.max_answer_length)
     assert (np.asarray(outs) < len(vocab) + K_OCR).all()
+
+
+def test_scst_decode_batch_beam_row_alignment():
+    """ADVICE r1: with out_size=beam the SCST path hands _decode_batch a
+    (n_samples, k, L) array — row r must decode against sample r//k's OCR
+    table, not table r."""
+    import numpy as np
+
+    from openvivqa_tpu.training.tasks.ocr_tasks import OcrOpenEndedTask
+
+    class _StubVocab:
+        max_answer_length = 4
+
+        def decode_answer(self, vecs, list_ocr_tokens, join_words=False):
+            assert len(list_ocr_tokens) == vecs.shape[0]
+            return [[list_ocr_tokens[r][0]] for r in range(vecs.shape[0])]
+
+    task = OcrOpenEndedTask.__new__(OcrOpenEndedTask)
+    task.vocab = _StubVocab()
+    outs = np.zeros((2, 3, 4), np.int64)  # 2 samples x 3 beams
+    batch = {"ocr_tokens": [["alpha"], ["beta"]]}
+    decoded = task._decode_batch(outs, batch)
+    assert decoded == ["alpha"] * 3 + ["beta"] * 3
+
+    # eval path: (bs, L) with batch-dim padding rows reusing the last table
+    outs2 = np.zeros((3, 4), np.int64)
+    batch2 = {"ocr_tokens": [["alpha"], ["beta"]]}  # n_real=2, bs=3
+    assert task._decode_batch(outs2, batch2) == ["alpha", "beta", "beta"]
