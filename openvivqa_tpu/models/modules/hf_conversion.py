@@ -144,6 +144,191 @@ def convert_vit_weights(state_dict: Dict, num_layers: int) -> Dict:
     }
 
 
+def convert_t5_encoder_weights(state_dict: Dict, num_layers: int) -> Dict:
+    """torch T5EncoderModel / MT5EncoderModel state_dict -> param tree for
+    modules/t5.T5EncoderStack.  All linears are bias-free; RMSNorm has only
+    a `weight`; the shared relative_attention_bias lives in layer 0."""
+
+    def kernel(key):
+        return {"kernel": _t(state_dict[key]).T}
+
+    params = {
+        "token_embed": {"embedding": _t(state_dict["shared.weight"])}
+        if "shared.weight" in state_dict
+        else {"embedding": _t(state_dict["encoder.embed_tokens.weight"])},
+        "relative_attention_bias": {
+            "embedding": _t(
+                state_dict[
+                    "encoder.block.0.layer.0.SelfAttention"
+                    ".relative_attention_bias.weight"
+                ]
+            )
+        },
+        "final_layer_norm": {
+            "weight": _t(state_dict["encoder.final_layer_norm.weight"])
+        },
+    }
+    for i in range(num_layers):
+        attn = f"encoder.block.{i}.layer.0"
+        ff = f"encoder.block.{i}.layer.1"
+        gated = f"{ff}.DenseReluDense.wi_0.weight" in state_dict
+        ff_params = (
+            {
+                "wi_0": kernel(f"{ff}.DenseReluDense.wi_0.weight"),
+                "wi_1": kernel(f"{ff}.DenseReluDense.wi_1.weight"),
+                "wo": kernel(f"{ff}.DenseReluDense.wo.weight"),
+            }
+            if gated
+            else {
+                "wi": kernel(f"{ff}.DenseReluDense.wi.weight"),
+                "wo": kernel(f"{ff}.DenseReluDense.wo.weight"),
+            }
+        )
+        params[f"block_{i}"] = {
+            "ln_attn": {"weight": _t(state_dict[f"{attn}.layer_norm.weight"])},
+            "attention": {
+                "q": kernel(f"{attn}.SelfAttention.q.weight"),
+                "k": kernel(f"{attn}.SelfAttention.k.weight"),
+                "v": kernel(f"{attn}.SelfAttention.v.weight"),
+                "o": kernel(f"{attn}.SelfAttention.o.weight"),
+            },
+            "ln_ff": {"weight": _t(state_dict[f"{ff}.layer_norm.weight"])},
+            "ff": ff_params,
+        }
+    return params
+
+
+def convert_albert_weights(
+    state_dict: Dict, num_groups: int = 1, inner_group_num: int = 1
+) -> Dict:
+    """torch AlbertModel state_dict -> param tree for
+    modules/albert.AlbertEncoderStack.  The shared layer groups live under
+    encoder.albert_layer_groups.{g}.albert_layers.{j}."""
+
+    def linear(prefix):
+        return {
+            "kernel": _t(state_dict[f"{prefix}.weight"]).T,
+            "bias": _t(state_dict[f"{prefix}.bias"]),
+        }
+
+    def layer_norm(prefix):
+        return {
+            "scale": _t(state_dict[f"{prefix}.weight"]),
+            "bias": _t(state_dict[f"{prefix}.bias"]),
+        }
+
+    params = {
+        "embeddings": {
+            "word_embeddings": {
+                "embedding": _t(state_dict["embeddings.word_embeddings.weight"])
+            },
+            "position_embeddings": {
+                "embedding": _t(
+                    state_dict["embeddings.position_embeddings.weight"]
+                )
+            },
+            "token_type_embeddings": {
+                "embedding": _t(
+                    state_dict["embeddings.token_type_embeddings.weight"]
+                )
+            },
+            "LayerNorm": layer_norm("embeddings.LayerNorm"),
+        },
+        "embedding_hidden_mapping_in": linear(
+            "encoder.embedding_hidden_mapping_in"
+        ),
+    }
+    for g in range(num_groups):
+        for j in range(inner_group_num):
+            prefix = f"encoder.albert_layer_groups.{g}.albert_layers.{j}"
+            params[f"group_{g}_layer_{j}"] = {
+                "query": linear(f"{prefix}.attention.query"),
+                "key": linear(f"{prefix}.attention.key"),
+                "value": linear(f"{prefix}.attention.value"),
+                "attn_dense": linear(f"{prefix}.attention.dense"),
+                "attn_LayerNorm": layer_norm(f"{prefix}.attention.LayerNorm"),
+                "ffn": linear(f"{prefix}.ffn"),
+                "ffn_output": linear(f"{prefix}.ffn_output"),
+                "full_layer_LayerNorm": layer_norm(
+                    f"{prefix}.full_layer_layer_norm"
+                ),
+            }
+    return params
+
+
+def convert_deberta_v2_weights(state_dict: Dict, num_layers: int) -> Dict:
+    """torch DebertaV2Model state_dict -> param tree for
+    modules/deberta.DebertaV2EncoderStack.  Optional pieces (absolute
+    positions, token types, embed_proj, rel embeddings + their LN, conv,
+    dedicated pos projections) convert when present."""
+
+    def linear(prefix):
+        return {
+            "kernel": _t(state_dict[f"{prefix}.weight"]).T,
+            "bias": _t(state_dict[f"{prefix}.bias"]),
+        }
+
+    def layer_norm(prefix):
+        return {
+            "scale": _t(state_dict[f"{prefix}.weight"]),
+            "bias": _t(state_dict[f"{prefix}.bias"]),
+        }
+
+    params = {
+        "word_embeddings": {
+            "embedding": _t(state_dict["embeddings.word_embeddings.weight"])
+        },
+        "embeddings_LayerNorm": layer_norm("embeddings.LayerNorm"),
+    }
+    if "embeddings.position_embeddings.weight" in state_dict:
+        params["position_embeddings"] = {
+            "embedding": _t(state_dict["embeddings.position_embeddings.weight"])
+        }
+    if "embeddings.token_type_embeddings.weight" in state_dict:
+        params["token_type_embeddings"] = {
+            "embedding": _t(
+                state_dict["embeddings.token_type_embeddings.weight"]
+            )
+        }
+    if "embeddings.embed_proj.weight" in state_dict:
+        params["embed_proj"] = {
+            "kernel": _t(state_dict["embeddings.embed_proj.weight"]).T
+        }
+    if "encoder.rel_embeddings.weight" in state_dict:
+        params["rel_embeddings"] = _t(state_dict["encoder.rel_embeddings.weight"])
+    if "encoder.LayerNorm.weight" in state_dict:
+        params["rel_LayerNorm"] = layer_norm("encoder.LayerNorm")
+    if "encoder.conv.conv.weight" in state_dict:
+        params["conv"] = {
+            # torch Conv1d (out, in/groups, k) -> flax (k, in/groups, out)
+            "kernel": _t(state_dict["encoder.conv.conv.weight"]).transpose(
+                2, 1, 0
+            ),
+            "bias": _t(state_dict["encoder.conv.conv.bias"]),
+        }
+        params["conv_LayerNorm"] = layer_norm("encoder.conv.LayerNorm")
+
+    for i in range(num_layers):
+        prefix = f"encoder.layer.{i}"
+        self_params = {
+            "query_proj": linear(f"{prefix}.attention.self.query_proj"),
+            "key_proj": linear(f"{prefix}.attention.self.key_proj"),
+            "value_proj": linear(f"{prefix}.attention.self.value_proj"),
+        }
+        for name in ("pos_key_proj", "pos_query_proj"):
+            if f"{prefix}.attention.self.{name}.weight" in state_dict:
+                self_params[name] = linear(f"{prefix}.attention.self.{name}")
+        params[f"layer_{i}"] = {
+            "self": self_params,
+            "attn_output": linear(f"{prefix}.attention.output.dense"),
+            "attn_LayerNorm": layer_norm(f"{prefix}.attention.output.LayerNorm"),
+            "intermediate": linear(f"{prefix}.intermediate.dense"),
+            "output": linear(f"{prefix}.output.dense"),
+            "output_LayerNorm": layer_norm(f"{prefix}.output.LayerNorm"),
+        }
+    return params
+
+
 def seed_text_backbone(params: Dict, converted: Dict) -> Dict:
     """Graft a converted {'embeddings','encoder'} pair (from
     convert_bert_weights / convert_roberta_weights) into a pretrained text

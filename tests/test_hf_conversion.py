@@ -221,3 +221,295 @@ def test_vit_conversion_matches_torch():
     )
     np.testing.assert_allclose(np.asarray(out), want, atol=5e-5)
     assert bias.shape == (2, 1, 1, want.shape[1])
+
+
+def test_t5_conversion_matches_torch():
+    """Converted MT5EncoderModel weights through our T5EncoderStack match
+    torch last_hidden_state at real mT5-small block dims (d_kv*heads !=
+    d_model, gated-gelu)."""
+    from openvivqa_tpu.models.modules.hf_conversion import (
+        convert_t5_encoder_weights,
+    )
+    from openvivqa_tpu.models.modules.t5 import T5EncoderStack
+
+    config = transformers.MT5Config(
+        vocab_size=220,
+        d_model=64,
+        d_kv=16,
+        d_ff=128,
+        num_layers=3,
+        num_heads=6,  # 6*16=96 != 64, the mT5 inner-dim quirk
+        dropout_rate=0.0,
+    )
+    torch.manual_seed(3)
+    hf = transformers.MT5EncoderModel(config)
+    hf.eval()
+
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(4, 220, size=(2, 11)).astype(np.int64)
+    tokens[0, -3:] = 0  # pad (T5 pad id 0)
+    attn_mask = (tokens != 0).astype(np.float32)
+
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.tensor(tokens),
+            attention_mask=torch.tensor(attn_mask),
+        ).last_hidden_state.numpy()
+
+    params = convert_t5_encoder_weights(hf.state_dict(), num_layers=3)
+    stack = T5EncoderStack(
+        vocab_size=220, d_model=64, num_layers=3, num_heads=6, d_kv=16,
+        d_ff=128, dropout=0.0,
+    )
+    bias = padding_bias(jnp.asarray(tokens.astype(np.int32)), padding_idx=0)
+    got = np.asarray(
+        stack.apply(
+            {"params": params},
+            jnp.asarray(tokens.astype(np.int32)),
+            attention_bias=bias,
+        )
+    )
+    valid = attn_mask.astype(bool)
+    np.testing.assert_allclose(got[valid], want[valid], atol=5e-5)
+
+
+def test_t5_v1_ungated_conversion():
+    """Plain T5 (v1.0: relu, ungated) converts too."""
+    from openvivqa_tpu.models.modules.hf_conversion import (
+        convert_t5_encoder_weights,
+    )
+    from openvivqa_tpu.models.modules.t5 import T5EncoderStack
+
+    config = transformers.T5Config(
+        vocab_size=100, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, dropout_rate=0.0, feed_forward_proj="relu",
+    )
+    torch.manual_seed(4)
+    hf = transformers.T5EncoderModel(config)
+    hf.eval()
+    rng = np.random.default_rng(4)
+    tokens = rng.integers(4, 100, size=(2, 7)).astype(np.int64)
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(tokens)).last_hidden_state.numpy()
+    params = convert_t5_encoder_weights(hf.state_dict(), num_layers=2)
+    stack = T5EncoderStack(
+        vocab_size=100, d_model=32, num_layers=2, num_heads=4, d_kv=8,
+        d_ff=64, dropout=0.0, gated_act=False, act_fn="relu",
+    )
+    got = np.asarray(
+        stack.apply({"params": params}, jnp.asarray(tokens.astype(np.int32)))
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def test_albert_conversion_matches_torch():
+    """Converted AlbertModel weights through AlbertEncoderStack match torch
+    last_hidden_state (factorised 16-dim embeddings, layer sharing x4)."""
+    from openvivqa_tpu.models.modules.albert import AlbertEncoderStack
+    from openvivqa_tpu.models.modules.hf_conversion import (
+        convert_albert_weights,
+    )
+
+    config = transformers.AlbertConfig(
+        vocab_size=150,
+        embedding_size=16,
+        hidden_size=32,
+        num_hidden_layers=4,
+        num_hidden_groups=1,
+        inner_group_num=1,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=40,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        classifier_dropout_prob=0.0,
+    )
+    torch.manual_seed(5)
+    hf = transformers.AlbertModel(config, add_pooling_layer=False)
+    hf.eval()
+
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(4, 150, size=(2, 9)).astype(np.int64)
+    tokens[1, -2:] = 0
+    attn_mask = (tokens != 0).astype(np.float32)
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.tensor(tokens),
+            attention_mask=torch.tensor(attn_mask),
+        ).last_hidden_state.numpy()
+
+    params = convert_albert_weights(hf.state_dict())
+    stack = AlbertEncoderStack(
+        vocab_size=150, hidden_size=32, num_layers=4, num_heads=4,
+        embedding_size=16, intermediate_size=64, max_position_embeddings=40,
+    )
+    bias = padding_bias(jnp.asarray(tokens.astype(np.int32)), padding_idx=0)
+    got = np.asarray(
+        stack.apply(
+            {"params": params},
+            jnp.asarray(tokens.astype(np.int32)),
+            attention_bias=bias,
+        )
+    )
+    valid = attn_mask.astype(bool)
+    np.testing.assert_allclose(got[valid], want[valid], atol=5e-5)
+
+
+def test_albert_multi_group_conversion():
+    """num_hidden_groups=2 layer->group mapping matches HF."""
+    from openvivqa_tpu.models.modules.albert import AlbertEncoderStack
+    from openvivqa_tpu.models.modules.hf_conversion import (
+        convert_albert_weights,
+    )
+
+    config = transformers.AlbertConfig(
+        vocab_size=90, embedding_size=12, hidden_size=24,
+        num_hidden_layers=4, num_hidden_groups=2, inner_group_num=2,
+        num_attention_heads=3, intermediate_size=48,
+        max_position_embeddings=32, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(6)
+    hf = transformers.AlbertModel(config, add_pooling_layer=False)
+    hf.eval()
+    rng = np.random.default_rng(6)
+    tokens = rng.integers(4, 90, size=(2, 7)).astype(np.int64)
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor(tokens)).last_hidden_state.numpy()
+    params = convert_albert_weights(
+        hf.state_dict(), num_groups=2, inner_group_num=2
+    )
+    stack = AlbertEncoderStack(
+        vocab_size=90, hidden_size=24, num_layers=4, num_heads=3,
+        embedding_size=12, intermediate_size=48, num_groups=2,
+        inner_group_num=2, max_position_embeddings=32,
+    )
+    got = np.asarray(
+        stack.apply({"params": params}, jnp.asarray(tokens.astype(np.int32)))
+    )
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def _deberta_case(config, seed, stack_kwargs):
+    from openvivqa_tpu.models.modules.deberta import DebertaV2EncoderStack
+    from openvivqa_tpu.models.modules.hf_conversion import (
+        convert_deberta_v2_weights,
+    )
+
+    torch.manual_seed(seed)
+    hf = transformers.DebertaV2Model(config)
+    hf.eval()
+    rng = np.random.default_rng(seed)
+    tokens = rng.integers(4, config.vocab_size, size=(2, 10)).astype(np.int64)
+    tokens[0, -3:] = 0
+    attn_mask = (tokens != 0).astype(np.float32)
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.tensor(tokens),
+            attention_mask=torch.tensor(attn_mask),
+        ).last_hidden_state.numpy()
+    params = convert_deberta_v2_weights(
+        hf.state_dict(), num_layers=config.num_hidden_layers
+    )
+    stack = DebertaV2EncoderStack(
+        vocab_size=config.vocab_size,
+        hidden_size=config.hidden_size,
+        num_layers=config.num_hidden_layers,
+        num_heads=config.num_attention_heads,
+        intermediate_size=config.intermediate_size,
+        max_position_embeddings=config.max_position_embeddings,
+        **stack_kwargs,
+    )
+    bias = padding_bias(jnp.asarray(tokens.astype(np.int32)), padding_idx=0)
+    got = np.asarray(
+        stack.apply(
+            {"params": params},
+            jnp.asarray(tokens.astype(np.int32)),
+            attention_bias=bias,
+        )
+    )
+    valid = attn_mask.astype(bool)
+    np.testing.assert_allclose(got[valid], want[valid], atol=5e-5)
+
+
+def test_deberta_v2_v3_style_conversion_matches_torch():
+    """v3-style: shared att key, log buckets, LN'd rel embeddings, no abs
+    positions beyond biased input, type_vocab_size 0."""
+    config = transformers.DebertaV2Config(
+        vocab_size=160,
+        hidden_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=40,
+        relative_attention=True,
+        position_buckets=8,
+        pos_att_type=["p2c", "c2p"],
+        share_att_key=True,
+        norm_rel_ebd="layer_norm",
+        type_vocab_size=0,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        pad_token_id=0,
+    )
+    _deberta_case(
+        config, 7,
+        dict(
+            relative_attention=True, position_buckets=8,
+            pos_att_type=("p2c", "c2p"), share_att_key=True,
+            norm_rel_ebd="layer_norm",
+        ),
+    )
+
+
+def test_deberta_v2_xlarge_style_conversion_matches_torch():
+    """v2-xlarge-style: conv layer after block 0, dedicated pos projections,
+    no buckets (span = max_position_embeddings)."""
+    config = transformers.DebertaV2Config(
+        vocab_size=140,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=24,
+        relative_attention=True,
+        position_buckets=-1,
+        pos_att_type=["p2c", "c2p"],
+        share_att_key=False,
+        norm_rel_ebd="none",
+        conv_kernel_size=3,
+        conv_groups=1,
+        type_vocab_size=0,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        pad_token_id=0,
+    )
+    _deberta_case(
+        config, 8,
+        dict(
+            relative_attention=True, position_buckets=-1,
+            pos_att_type=("p2c", "c2p"), share_att_key=False,
+            norm_rel_ebd="none", conv_kernel_size=3, conv_groups=1,
+        ),
+    )
+
+
+def test_deberta_v2_plain_config_matches_torch():
+    """The reference builds DebertaV2Config(...) with defaults
+    (relative_attention=False) when not loading pretrained weights
+    (text_embeddings.py:487-491) — cover that shape too."""
+    config = transformers.DebertaV2Config(
+        vocab_size=120,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        intermediate_size=64,
+        max_position_embeddings=32,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+        pad_token_id=0,
+    )
+    _deberta_case(
+        config, 9,
+        dict(relative_attention=False, pos_att_type=()),
+    )
