@@ -356,6 +356,61 @@ def seed_text_backbone(params: Dict, converted: Dict) -> Dict:
     return out
 
 
+def graft_with_padding(target: Dict, converted: Dict, path: str = "") -> Dict:
+    """Recursively overlay `converted` onto `target`.  Embedding-style
+    tables whose shapes differ only in dim 0 (vocab / position rows) are
+    zero-padded or truncated to the target's row count; any other shape
+    mismatch raises.  Leaves present only in the target keep their values
+    (e.g. the trainable projection); leaves only in `converted` raise
+    (they would silently drop pretrained weights)."""
+    out = dict(target)
+    for key, value in converted.items():
+        here = f"{path}/{key}"
+        if key not in target:
+            raise KeyError(f"converted weight {here} has no slot in the wrapper")
+        if isinstance(value, dict):
+            out[key] = graft_with_padding(target[key], value, here)
+            continue
+        want = np.asarray(target[key])
+        have = np.asarray(value)
+        if have.shape == want.shape:
+            out[key] = have
+        elif (
+            have.ndim == want.ndim
+            and have.ndim >= 2
+            and have.shape[1:] == want.shape[1:]
+        ):
+            if have.shape[0] < want.shape[0]:
+                pad = np.zeros(
+                    (want.shape[0] - have.shape[0],) + have.shape[1:], have.dtype
+                )
+                out[key] = np.concatenate([have, pad], axis=0)
+            else:
+                out[key] = have[: want.shape[0]]
+            logger.info(
+                "resized %s rows %d -> %d", here, have.shape[0], want.shape[0]
+            )
+        else:
+            raise ValueError(
+                f"shape mismatch at {here}: converted {have.shape} vs "
+                f"wrapper {want.shape}"
+            )
+    return out
+
+
+def load_into_wrapper(wrapper_params: Dict, converted: Dict) -> Dict:
+    """Graft a converted backbone tree into a `_ProjectedBackboneEmbedding`
+    wrapper's params (the `backbone` submodule of T5Embedding /
+    AlbertEmbedding / DebertaEmbedding), padding vocab/position tables to
+    the wrapper's shapes in one call (the helper the round-1 ROADMAP left
+    manual)."""
+    out = dict(wrapper_params)
+    out["backbone"] = graft_with_padding(
+        wrapper_params["backbone"], converted, "backbone"
+    )
+    return out
+
+
 def load_hf_bert_params(
     name_or_path: str, num_layers: Optional[int] = None
 ) -> Optional[Dict]:

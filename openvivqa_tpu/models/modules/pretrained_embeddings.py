@@ -79,12 +79,200 @@ def _register_text_wrapper(name: str):
     return _Wrapper
 
 
+# BERT-layout families: the BertEmbeddings/BertEncoderStack pair IS the
+# faithful architecture (RoBERTa/XLM-R differences are absorbed at weight
+# conversion, hf_conversion.convert_roberta_weights)
 BertEmbedding = _register_text_wrapper("BertEmbedding")
-AlbertEmbedding = _register_text_wrapper("AlbertEmbedding")
 RobertaEmbedding = _register_text_wrapper("RobertaEmbedding")
-DebertaEmbedding = _register_text_wrapper("DebertaEmbedding")
 XLMRobertaEmbedding = _register_text_wrapper("XLMRobertaEmbedding")
-T5Embedding = _register_text_wrapper("T5Embedding")
+
+
+# -- architecture specs for real pretrained backbones ------------------------
+# Default dims follow the checkpoint the reference configs name
+# (PRETRAINED_NAME), so e.g. vit_mt5.yaml builds an actual mT5-small-shaped
+# encoder rather than a generic stand-in.  Explicit config keys
+# (D_PRETRAINED_FEATURE / PRETRAINED_LAYERS / HIDDEN_SIZE /
+# NUM_HIDDEN_LAYERS / NUM_ATTENTION_HEADS / PRETRAINED_VOCAB_SIZE) override.
+BACKBONE_SPECS = {
+    "google/mt5-small": dict(
+        family="t5", hidden=512, layers=8, heads=6, d_kv=64, d_ff=1024,
+        vocab_size=250112, gated_act=True, act_fn="gelu_new",
+    ),
+    "google/mt5-base": dict(
+        family="t5", hidden=768, layers=12, heads=12, d_kv=64, d_ff=2048,
+        vocab_size=250112, gated_act=True, act_fn="gelu_new",
+    ),
+    "t5-small": dict(
+        family="t5", hidden=512, layers=6, heads=8, d_kv=64, d_ff=2048,
+        vocab_size=32128, gated_act=False, act_fn="relu",
+    ),
+    "t5-base": dict(
+        family="t5", hidden=768, layers=12, heads=12, d_kv=64, d_ff=3072,
+        vocab_size=32128, gated_act=False, act_fn="relu",
+    ),
+    "albert-base-v2": dict(
+        family="albert", hidden=768, layers=12, heads=12, embedding_size=128,
+        intermediate=3072, vocab_size=30000,
+    ),
+    "albert-large-v2": dict(
+        family="albert", hidden=1024, layers=24, heads=16, embedding_size=128,
+        intermediate=4096, vocab_size=30000,
+    ),
+    "microsoft/deberta-v3-base": dict(
+        family="deberta", hidden=768, layers=12, heads=12, intermediate=3072,
+        vocab_size=128100, position_buckets=256, share_att_key=True,
+        norm_rel_ebd="layer_norm",
+    ),
+    "microsoft/deberta-v3-large": dict(
+        family="deberta", hidden=1024, layers=24, heads=16, intermediate=4096,
+        vocab_size=128100, position_buckets=256, share_att_key=True,
+        norm_rel_ebd="layer_norm",
+    ),
+    "microsoft/deberta-v2-xlarge": dict(
+        family="deberta", hidden=1536, layers=24, heads=24, intermediate=6144,
+        vocab_size=128100, position_buckets=256, share_att_key=True,
+        norm_rel_ebd="layer_norm", conv_kernel_size=3, conv_groups=1,
+    ),
+}
+
+_FAMILY_DEFAULTS = {
+    # used when PRETRAINED_NAME is absent/unknown: base-model shapes
+    "t5": BACKBONE_SPECS["google/mt5-small"],
+    "albert": BACKBONE_SPECS["albert-base-v2"],
+    "deberta": BACKBONE_SPECS["microsoft/deberta-v3-base"],
+}
+
+
+def resolve_backbone_spec(config, family: str, vocab=None) -> dict:
+    """Spec = family default <- PRETRAINED_NAME entry <- explicit keys."""
+    spec = dict(_FAMILY_DEFAULTS[family])
+    name = config.get("PRETRAINED_NAME")
+    if name in BACKBONE_SPECS and BACKBONE_SPECS[name]["family"] == family:
+        spec = dict(BACKBONE_SPECS[name])
+    # reference wrapper schema (text_embeddings.py:308-312 etc.)
+    for cfg_key, spec_key in (
+        ("D_PRETRAINED_FEATURE", "hidden"),
+        ("HIDDEN_SIZE", "hidden"),
+        ("PRETRAINED_LAYERS", "layers"),
+        ("NUM_HIDDEN_LAYERS", "layers"),
+        ("NUM_ATTENTION_HEADS", "heads"),
+        ("PRETRAINED_VOCAB_SIZE", "vocab_size"),
+        ("PRETRAINED_INTERMEDIATE_SIZE", "intermediate"),
+        ("PRETRAINED_D_KV", "d_kv"),
+        ("PRETRAINED_D_FF", "d_ff"),
+        ("PRETRAINED_EMBEDDING_SIZE", "embedding_size"),
+    ):
+        value = config.get(cfg_key)
+        if value is not None:
+            spec[spec_key] = int(value)
+    if vocab is not None:
+        # framework vocab ids must be addressable even without converted
+        # weights / HF tokenization
+        spec["vocab_size"] = max(spec["vocab_size"], len(vocab))
+    return spec
+
+
+class _ProjectedBackboneEmbedding(nn.Module):
+    """Shared tail of every HF text wrapper: frozen backbone ->
+    Dense(D_MODEL) -> GELU -> dropout, returning (features, padding bias)
+    (text_embeddings.py:313-345)."""
+
+    config: Any
+    vocab: Any
+    family: str = "t5"
+
+    def _backbone(self, spec):
+        raise NotImplementedError
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, train: bool = False):
+        c = self.config
+        spec = resolve_backbone_spec(c, self.family, self.vocab)
+        bias = padding_bias(tokens, self.vocab.padding_idx)
+        encoded = self._backbone(spec)(tokens, attention_bias=bias, train=False)
+        encoded = jax.lax.stop_gradient(encoded)  # frozen backbone
+
+        out = nn.Dense(c.D_MODEL, kernel_init=_xavier)(encoded)
+        out = jax.nn.gelu(out, approximate=False)
+        out = nn.Dropout(rate=c.DROPOUT)(out, deterministic=not train)
+        return out, bias
+
+
+@META_TEXT_EMBEDDING.register()
+class T5Embedding(_ProjectedBackboneEmbedding):
+    """Faithful mT5/T5 encoder behind the projection (the architecture the
+    reference intends at configs/vit_mt5.yaml:65 / vit_mt5.py:11-57).
+    Weight conversion: hf_conversion.convert_t5_encoder_weights +
+    load_into_wrapper."""
+
+    family: str = "t5"
+
+    def _backbone(self, spec):
+        from .t5 import T5EncoderStack
+
+        return T5EncoderStack(
+            vocab_size=spec["vocab_size"],
+            d_model=spec["hidden"],
+            num_layers=spec["layers"],
+            num_heads=spec["heads"],
+            d_kv=spec.get("d_kv", 64),
+            d_ff=spec.get("d_ff"),
+            gated_act=spec.get("gated_act", True),
+            act_fn=spec.get("act_fn", "gelu_new"),
+            dropout=0.1,
+            name="backbone",
+        )
+
+
+@META_TEXT_EMBEDDING.register()
+class AlbertEmbedding(_ProjectedBackboneEmbedding):
+    """Faithful ALBERT (factorised embeddings + cross-layer sharing) behind
+    the projection (text_embeddings.py:363-397).  Divergence: the reference
+    TextAlbert inserts a second embedding_hidden_mapping_in on top of HF's
+    own (dimensionally broken for embedding_size != hidden_size); we apply
+    the single correct mapping."""
+
+    family: str = "albert"
+
+    def _backbone(self, spec):
+        from .albert import AlbertEncoderStack
+
+        return AlbertEncoderStack(
+            vocab_size=spec["vocab_size"],
+            hidden_size=spec["hidden"],
+            num_layers=spec["layers"],
+            num_heads=spec["heads"],
+            embedding_size=spec.get("embedding_size", 128),
+            intermediate_size=spec.get("intermediate"),
+            dropout=0.1,
+            name="backbone",
+        )
+
+
+@META_TEXT_EMBEDDING.register()
+class DebertaEmbedding(_ProjectedBackboneEmbedding):
+    """Faithful DeBERTa-v2/v3 (disentangled attention) behind the projection
+    (text_embeddings.py:457-513 builds TextDeberta_v2)."""
+
+    family: str = "deberta"
+
+    def _backbone(self, spec):
+        from .deberta import DebertaV2EncoderStack
+
+        return DebertaV2EncoderStack(
+            vocab_size=spec["vocab_size"],
+            hidden_size=spec["hidden"],
+            num_layers=spec["layers"],
+            num_heads=spec["heads"],
+            intermediate_size=spec.get("intermediate"),
+            position_buckets=spec.get("position_buckets", -1),
+            share_att_key=spec.get("share_att_key", False),
+            norm_rel_ebd=spec.get("norm_rel_ebd", "none"),
+            conv_kernel_size=spec.get("conv_kernel_size", 0),
+            conv_groups=spec.get("conv_groups", 1),
+            dropout=0.1,
+            name="backbone",
+        )
 
 
 @META_VISION_EMBEDDING.register()

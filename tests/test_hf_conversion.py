@@ -513,3 +513,108 @@ def test_deberta_v2_plain_config_matches_torch():
         config, 9,
         dict(relative_attention=False, pos_att_type=()),
     )
+
+
+def test_load_into_wrapper_t5():
+    """load_into_wrapper grafts a converted mT5 backbone into the
+    T5Embedding wrapper, padding the vocab table to the wrapper's larger
+    row count; the grafted backbone reproduces torch outputs."""
+    from openvivqa_tpu.builders import build_text_embedding
+    from openvivqa_tpu.config import ConfigNode
+    from openvivqa_tpu.models.modules.hf_conversion import (
+        convert_t5_encoder_weights,
+        load_into_wrapper,
+    )
+
+    config = transformers.MT5Config(
+        vocab_size=100, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, dropout_rate=0.0,
+    )
+    torch.manual_seed(10)
+    hf = transformers.MT5EncoderModel(config)
+    hf.eval()
+    converted = convert_t5_encoder_weights(hf.state_dict(), num_layers=2)
+
+    class _Vocab:
+        padding_idx = 0
+
+        def __len__(self):
+            return 140  # larger than the checkpoint vocab -> padding
+
+    wrapper_cfg = ConfigNode(
+        {
+            "ARCHITECTURE": "T5Embedding", "D_MODEL": 16, "DROPOUT": 0.0,
+            "D_PRETRAINED_FEATURE": 32, "PRETRAINED_LAYERS": 2,
+            "NUM_ATTENTION_HEADS": 4, "PRETRAINED_VOCAB_SIZE": 100,
+            "PRETRAINED_D_KV": 8, "PRETRAINED_D_FF": 64,
+        }
+    )
+    vocab = _Vocab()
+    module = build_text_embedding(wrapper_cfg, vocab)
+    # override the non-table dims the spec table would default
+    tokens = jnp.asarray(
+        np.random.default_rng(10).integers(1, 100, (2, 6)), jnp.int32
+    )
+    variables = jax.jit(module.init)(jax.random.PRNGKey(0), tokens)
+    params = load_into_wrapper(variables["params"], converted)
+    assert np.asarray(params["backbone"]["token_embed"]["embedding"]).shape[0] == 140
+
+    # grafted wrapper runs; its backbone matches torch on ids < 100
+    from openvivqa_tpu.models.modules.t5 import T5EncoderStack
+
+    stack = T5EncoderStack(
+        vocab_size=140, d_model=32, num_layers=2, num_heads=4, d_kv=8,
+        d_ff=64, dropout=0.0,
+    )
+    got = np.asarray(
+        stack.apply({"params": params["backbone"]}, tokens)
+    )
+    with torch.no_grad():
+        want = hf(
+            input_ids=torch.tensor(np.asarray(tokens).astype(np.int64))
+        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(got, want, atol=5e-5)
+
+    out, bias = module.apply({"params": params}, tokens)
+    assert out.shape == (2, 6, 16)
+
+
+def test_backbone_wrappers_build_at_spec_dims():
+    """T5Embedding/AlbertEmbedding/DebertaEmbedding build from the registry
+    and trace at their real PRETRAINED_NAME spec dims (eval_shape: no
+    compute)."""
+    from openvivqa_tpu.builders import build_text_embedding
+    from openvivqa_tpu.config import ConfigNode
+    from openvivqa_tpu.models.modules.pretrained_embeddings import (
+        BACKBONE_SPECS,
+        resolve_backbone_spec,
+    )
+
+    class _Vocab:
+        padding_idx = 0
+
+        def __len__(self):
+            return 50
+
+    cases = [
+        ("T5Embedding", "google/mt5-small", "t5"),
+        ("AlbertEmbedding", "albert-base-v2", "albert"),
+        ("DebertaEmbedding", "microsoft/deberta-v3-base", "deberta"),
+    ]
+    for arch, name, family in cases:
+        cfg = ConfigNode(
+            {
+                "ARCHITECTURE": arch, "D_MODEL": 64, "DROPOUT": 0.1,
+                "PRETRAINED_NAME": name,
+            }
+        )
+        spec = resolve_backbone_spec(cfg, family, _Vocab())
+        assert spec["hidden"] == BACKBONE_SPECS[name]["hidden"]
+        assert spec["layers"] == BACKBONE_SPECS[name]["layers"]
+        module = build_text_embedding(cfg, _Vocab())
+        tokens = jnp.zeros((2, 7), jnp.int32)
+        shapes = jax.eval_shape(
+            lambda r, m=module, t=tokens: m.init({"params": r, "dropout": r}, t),
+            jax.random.PRNGKey(0),
+        )
+        assert "backbone" in shapes["params"]
