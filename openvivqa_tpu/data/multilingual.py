@@ -187,13 +187,30 @@ class MultilingualDictionaryDataset(DictionaryDataset):
 
 class _RawQuestionItemMixin:
     """__getitem__ keeps the raw question string host-side and also encodes
-    it with the vocab so the device stream exists."""
+    it with the vocab so the device stream exists.  With `HF_TOKENIZER` in
+    the dataset config, a `question_backbone_tokens` array (real HF ids for
+    the converted backbone, static dataset-level length) is emitted too
+    (text_embeddings.py:329-330 parity, tokenised in the pipeline instead
+    of inside the model)."""
+
+    def _backbone_table(self):
+        if not hasattr(self, "_backbone_ids_by_question"):
+            from .hf_tokenization import backbone_token_table
+
+            self._backbone_ids_by_question = backbone_token_table(
+                self.config, self.annotations
+            )
+        return self._backbone_ids_by_question
 
     def _question_payload(self, item):
-        return {
+        payload = {
             "question": item["raw_question"],
             "question_tokens": self.vocab.encode_question(item["question"]),
         }
+        table = self._backbone_table()
+        if table is not None:
+            payload["question_backbone_tokens"] = table[item["raw_question"]]
+        return payload
 
 
 @META_DATASET.register()
@@ -266,7 +283,9 @@ class RawQuestionMultilingualFeatureDataset(
 
 
 @META_DATASET.register()
-class RawQuestionMultilingualDictionaryDataset(MultilingualDictionaryDataset):
+class RawQuestionMultilingualDictionaryDataset(
+    _RawQuestionItemMixin, MultilingualDictionaryDataset
+):
     def __getitem__(self, idx: int) -> Instance:
         item = self.annotations[idx]
         features = self.load_features(item["image_id"])
@@ -275,8 +294,7 @@ class RawQuestionMultilingualDictionaryDataset(MultilingualDictionaryDataset):
             type=item["type"],
             image_id=item["image_id"],
             filename=item["filename"],
-            question=item["raw_question"],
-            question_tokens=self.vocab.encode_question(item["question"]),
             answers=item["answers"],
+            **self._question_payload(item),
             **features,
         )

@@ -38,29 +38,57 @@ _xavier = nn.initializers.xavier_uniform()
 _normal = nn.initializers.normal(stddev=0.02)
 
 
+# real vocab sizes of the BERT-layout checkpoints the reference configs name
+_BERT_FAMILY_VOCABS = {
+    "bert-base-uncased": 30522,
+    "bert-base-cased": 28996,
+    "bert-base-multilingual-uncased": 105879,
+    "bert-base-multilingual-cased": 119547,
+    "xlm-roberta-base": 250002,
+    "xlm-roberta-large": 250002,
+    "roberta-base": 50265,
+    "vinai/phobert-base": 64001,
+    "vinai/phobert-large": 64001,
+}
+
+
 class _FrozenTextBackboneEmbedding(nn.Module):
-    """Shared skeleton of the HF text wrappers: embed question ids with a
-    BERT-style stack at the pretrained hidden size, stop_gradient (frozen),
-    project to D_MODEL, GELU, dropout."""
+    """Shared skeleton of the BERT-layout HF text wrappers: embed question
+    ids with a BERT stack at the pretrained dims (12-layer base shapes by
+    default, matching the checkpoints the configs name), stop_gradient
+    (frozen), project to D_MODEL, GELU, dropout."""
 
     config: Any
     vocab: Any
     default_hidden: int = 768
-    default_layers: int = 4
+    default_layers: int = 12
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, train: bool = False):
+    def __call__(
+        self, tokens: jnp.ndarray, train: bool = False, padding_idx=None
+    ):
         c = self.config
         hidden = int(c.get("D_PRETRAINED_FEATURE", self.default_hidden))
-        layers = int(c.get("PRETRAINED_LAYERS", self.default_layers))
-        heads = max(1, hidden // 64)
+        layers = int(
+            c.get("PRETRAINED_LAYERS")
+            or c.get("NUM_HIDDEN_LAYERS")
+            or self.default_layers
+        )
+        heads = int(c.get("NUM_ATTENTION_HEADS") or max(1, hidden // 64))
 
-        bias = padding_bias(tokens, self.vocab.padding_idx)
+        if padding_idx is None:
+            padding_idx = self.vocab.padding_idx
+        bias = padding_bias(tokens, padding_idx)
+        default_rows = _BERT_FAMILY_VOCABS.get(c.get("PRETRAINED_NAME"), 30522)
+        table_rows = max(
+            len(self.vocab), int(c.get("PRETRAINED_VOCAB_SIZE") or default_rows)
+        )
         embedded = BertEmbeddings(
-            vocab_size=max(len(self.vocab), 30522), hidden_size=hidden
+            vocab_size=table_rows, hidden_size=hidden
         )(tokens, train=False)
         encoded = BertEncoderStack(
-            hidden_size=hidden, num_layers=layers, num_heads=heads
+            hidden_size=hidden, num_layers=layers, num_heads=heads,
+            intermediate_size=c.get("PRETRAINED_INTERMEDIATE_SIZE"),
         )(embedded, attention_bias=bias, train=False)
         encoded = jax.lax.stop_gradient(encoded)  # frozen backbone
 
@@ -185,10 +213,14 @@ class _ProjectedBackboneEmbedding(nn.Module):
         raise NotImplementedError
 
     @nn.compact
-    def __call__(self, tokens: jnp.ndarray, train: bool = False):
+    def __call__(
+        self, tokens: jnp.ndarray, train: bool = False, padding_idx=None
+    ):
         c = self.config
         spec = resolve_backbone_spec(c, self.family, self.vocab)
-        bias = padding_bias(tokens, self.vocab.padding_idx)
+        if padding_idx is None:
+            padding_idx = self.vocab.padding_idx
+        bias = padding_bias(tokens, padding_idx)
         encoded = self._backbone(spec)(tokens, attention_bias=bias, train=False)
         encoded = jax.lax.stop_gradient(encoded)  # frozen backbone
 
@@ -294,7 +326,7 @@ class ViTEmbedding(nn.Module):
         hidden = int(c.get("D_PRETRAINED_FEATURE", 768))
         if pixel_values.ndim == 4:  # raw images (bs, H, W, 3)
             patch = int(c.get("PATCH_SIZE", 16))
-            layers = int(c.get("PRETRAINED_LAYERS", 4))
+            layers = int(c.get("PRETRAINED_LAYERS", 12))  # ViT-base depth
             heads = int(c.get("PRETRAINED_HEADS", max(1, hidden // 64)))
             patches = nn.Conv(
                 features=hidden,
@@ -345,7 +377,7 @@ class _FrozenCausalLM(nn.Module):
         c = self.config
         hidden = int(c.get("D_PRETRAINED_FEATURE", 768))
         d_model = int(c.D_MODEL)
-        layers = int(c.get("PRETRAINED_LAYERS", 4))
+        layers = int(c.get("PRETRAINED_LAYERS", 12))  # base-model depth
         heads = max(1, hidden // 64)
 
         pad_bias = padding_bias(tokens, self.vocab.padding_idx)

@@ -45,6 +45,16 @@ def _vision_input(batch: BatchArrays):
     return batch["grid_features"]
 
 
+def _question_input(batch: BatchArrays, text_config):
+    """Prefer real HF backbone ids (datasets configured with HF_TOKENIZER
+    emit `question_backbone_tokens`; text_embeddings.py:329-330 parity) over
+    framework-vocab ids; the pad id follows the id space."""
+    if "question_backbone_tokens" in batch:
+        pad = int(text_config.get("PRETRAINED_PAD_ID") or 0)
+        return batch["question_backbone_tokens"], pad
+    return batch["question_tokens"], None
+
+
 @META_ARCHITECTURE.register()
 class ViTmBERTClassification(ClassificationModel):
     config: Any
@@ -56,8 +66,9 @@ class ViTmBERTClassification(ClassificationModel):
         vision_features, _ = build_vision_embedding(c.VISION_EMBEDDING)(
             _vision_input(batch), train=train
         )
+        tokens, pad = _question_input(batch, c.TEXT_EMBEDDING)
         text_features, _ = build_text_embedding(c.TEXT_EMBEDDING, self.vocab)(
-            batch["question_tokens"], train=train
+            tokens, train=train, padding_idx=pad
         )
         fused = jnp.concatenate([vision_features, text_features], axis=1)
         fused = nn.Dropout(rate=c.DROPOUT)(
@@ -95,7 +106,8 @@ class ViTmBERTGeneration(GenerativeModel):
         return fused, bias
 
     def _text(self, batch, train):
-        result = self.text_embedding(batch["question_tokens"], train=train)
+        tokens, pad = _question_input(batch, self.config.TEXT_EMBEDDING)
+        result = self.text_embedding(tokens, train=train, padding_idx=pad)
         features, masks = result
         bias = masks[0] if isinstance(masks, tuple) else masks
         return features, bias
