@@ -184,9 +184,44 @@ def convert_mcan(state_dict: Mapping[str, Any], config) -> Dict:
         "layer_norm": layer_norm(sd, "layer_norm"),
         "classify": linear(sd, "classify"),
     }
-    if "text_embedding.embedding.weight" in StateDict(state_dict)._mapping:
-        pass  # LSTM variants are handled by callers needing them
+    params["text_embedding"] = convert_text_embedding(sd, "text_embedding")
     return params
+
+
+def convert_text_embedding(sd: StateDict, name: str) -> Dict:
+    """UsualEmbedding (components.weight) or LSTMTextEmbedding
+    (embedding + proj + torch nn.LSTM) -> our module trees.
+
+    torch LSTM packs gates row-blocked as [i, f, g, o] in
+    weight_ih_l0/weight_hh_l0; flax OptimizedLSTMCell splits them into
+    ii/if/ig/io (input kernels, no bias) and hi/hf/hg/ho (hidden kernels
+    carrying the summed torch biases)."""
+    if f"{name}.components.weight" in sd:
+        return {"embedding": sd[f"{name}.components.weight"]}
+    if f"{name}.fc.weight" in sd:  # UsualEmbedding w/ pretrained vectors+fc
+        return {
+            "embedding": sd[f"{name}.components.weight"],
+            "Dense_0": linear(sd, f"{name}.fc"),
+        }
+    # LSTMTextEmbedding (text_embeddings.py:221-246)
+    w_ih = sd[f"{name}.lstm.weight_ih_l0"]
+    w_hh = sd[f"{name}.lstm.weight_hh_l0"]
+    b_ih = sd[f"{name}.lstm.bias_ih_l0"]
+    b_hh = sd[f"{name}.lstm.bias_hh_l0"]
+    hidden = w_hh.shape[1]
+    cell = {}
+    for idx, gate in enumerate("ifgo"):
+        rows = slice(idx * hidden, (idx + 1) * hidden)
+        cell[f"i{gate}"] = {"kernel": w_ih[rows].T}
+        cell[f"h{gate}"] = {
+            "kernel": w_hh[rows].T,
+            "bias": b_ih[rows] + b_hh[rows],
+        }
+    return {
+        "embedding": sd[f"{name}.embedding.weight"],
+        "Dense_0": linear(sd, f"{name}.proj"),
+        "_LSTM_0": {"OptimizedLSTMCell_0": cell},
+    }
 
 
 # -- M4C family (HF-BERT-based; mmf_m4c.py:20-256) ----------------------------

@@ -205,3 +205,39 @@ def test_multi_head_attention_parity(ref_modules):
         torch.tensor(x), torch.tensor(x), torch.tensor(x), torch.tensor(mask)
     )
     np.testing.assert_allclose(np.asarray(out), _np(want), atol=5e-5)
+
+
+def test_lstm_text_embedding_conversion_matches_torch():
+    """convert_text_embedding maps torch nn.LSTM gates (i,f,g,o row blocks;
+    bias_ih + bias_hh summed) onto flax OptimizedLSTMCell exactly."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from openvivqa_tpu.models.modules.text_embeddings import _LSTM
+    from openvivqa_tpu.models.modules.torch_conversion import (
+        StateDict,
+        convert_text_embedding,
+    )
+
+    torch.manual_seed(0)
+    d = 12
+    lstm = torch.nn.LSTM(input_size=d, hidden_size=d, batch_first=True)
+    proj = torch.nn.Linear(d, d)
+    emb = torch.nn.Embedding(20, d)
+    sd = StateDict(
+        {
+            **{f"te.lstm.{k}": v for k, v in lstm.state_dict().items()},
+            **{f"te.proj.{k}": v for k, v in proj.state_dict().items()},
+            **{f"te.embedding.{k}": v for k, v in emb.state_dict().items()},
+        }
+    )
+    converted = convert_text_embedding(sd, "te")
+
+    x = torch.randn(3, 7, d)
+    with torch.no_grad():
+        want, _ = lstm(x)
+    got = _LSTM(d).apply(
+        {"params": {"OptimizedLSTMCell_0": converted["_LSTM_0"]["OptimizedLSTMCell_0"]}},
+        jnp.asarray(x.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(got), want.numpy(), atol=1e-6)
