@@ -107,6 +107,16 @@ VARIANTS = [
     # its masked-future prev_inds update is a no-op under causal+blind
     # masking, so incremental is exact for it too
     ("MMF_ImprovedDecodingM4C", {}, True),
+    # remaining family members (VERDICT r1 item 4): the incremental path is
+    # generic over _mmt_streams, so these inherit it unchanged
+    ("M4C", {}, True),
+    ("experimental_MMF_M4C", {}, True),
+    (
+        "MMF_LanguageAdaptiveM4C",
+        {"LANGUAGES": ("vi", "en"), "TEXT_BERT": {
+            "HIDDEN_SIZE": H, "NUM_HIDDEN_LAYERS": 1}},
+        True,
+    ),
 ]
 
 
