@@ -1,35 +1,58 @@
 #!/usr/bin/env python
-"""Headline benchmark: MCAN eval throughput (samples/sec/chip).
+"""Headline benchmark: MCAN eval/train throughput + beam decode + MFU.
 
-Matches the north-star metric in BASELINE.md (driver-defined: VQA eval
-samples/sec/chip, target >= 10x the reference CPU eval throughput).  The
-reference anchor was measured with scripts/measure_reference_baseline.py on
-the same dims (MCAN @ mcan.yaml: d_model=512, 3 SA + 3 GA layers, batch 64,
-100 regions x 1024-d features) and stored in BASELINE_MEASURED.json.
+North-star metric (BASELINE.md, driver-defined): VQA eval samples/sec/chip,
+target >= 10x the reference CPU eval throughput.  The reference anchors
+were measured with scripts/measure_reference_baseline.py at the same dims
+(MCAN @ mcan.yaml: d_model=512, 3 SA + 3 GA layers, batch 64, 100 regions x
+1024-d features) and stored in BASELINE_MEASURED.json.
 
-Prints ONE JSON line:
+Prints ONE JSON line.  Required driver keys:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-vs_baseline = our samples/sec / reference CPU samples/sec  (>=10 is target).
+plus honest-performance extras (VERDICT r1 item 5):
+  train_samples_per_sec / vs_baseline_train  — full jitted train step
+    (loss + grads + Adam) chained sequentially like a real epoch;
+  beam_samples_per_sec — IterativeMCAN beam-3 generative eval;
+  eval_mfu / train_mfu — XLA cost-analysis FLOPs over wall-clock against
+    the chip's bf16 peak (TPU matmuls at default precision execute as
+    bf16 passes, CLAUDE.md measured facts).
 """
 
 import json
 import os
 import time
+from functools import partial
 
 import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 
+# bf16 peak FLOP/s by device kind (public TPU specs); None -> MFU omitted
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
-    from openvivqa_tpu.builders import populate
+def _flops_of(compiled) -> float:
+    """Total FLOPs from XLA cost analysis (shape differs across jax vers)."""
+    try:
+        cost = compiled.cost_analysis()
+    except Exception:  # noqa: BLE001
+        return 0.0
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return float(cost.get("flops", 0.0) or 0.0)
+
+
+def _mcan_model():
     from openvivqa_tpu.config import ConfigNode
     from openvivqa_tpu.models.mcan import MCAN
-
-    populate()
 
     class BenchVocab:
         padding_idx, bos_idx, eos_idx, unk_idx = 0, 1, 2, 3
@@ -72,7 +95,24 @@ def main():
         }
     )
     vocab = BenchVocab()
-    model = MCAN(config, vocab)
+    return MCAN(config, vocab), vocab
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", "/tmp/openvivqa_xla_cache"
+        )
+    except Exception:  # noqa: BLE001
+        pass
+
+    from openvivqa_tpu.builders import populate
+
+    populate()
+    model, vocab = _mcan_model()
 
     batch_size, n_regions, max_q = 64, 100, vocab.max_question_length
     rng = np.random.default_rng(0)
@@ -84,19 +124,20 @@ def main():
             rng.integers(4, len(vocab), size=(batch_size, max_q)).astype(np.int32)
         ),
     }
+    answers = jnp.asarray(
+        rng.integers(0, vocab.total_answers, size=(batch_size,)).astype(np.int32)
+    )
 
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         jax.random.PRNGKey(0), batch
     )
     params = variables["params"]
 
-    # NOTE on methodology: over the axon tunnel, repeated identical dispatches
-    # can be deduplicated and block_until_ready is unreliable, so we chain N
-    # forwards inside one XLA program (each iteration perturbs the input with
-    # the previous output's mean, forcing real sequential execution) and time
-    # a host fetch of the final scalar.
-    from functools import partial
-
+    # Methodology (CLAUDE.md): over the axon tunnel, repeated identical
+    # dispatches can be deduplicated and block_until_ready is unreliable, so
+    # chain N dependent forwards inside ONE XLA program (each iteration
+    # perturbs the input with the previous output's mean) and time a host
+    # fetch of the final scalar.
     @partial(jax.jit, static_argnames="n")
     def eval_chain(params, batch, n):
         def body(carry, _):
@@ -111,33 +152,136 @@ def main():
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return carry
 
-    float(eval_chain(params, batch, 2))  # compile small chain (warmup)
-    # 200 chained batches amortize the one dispatch+fetch round trip (~20ms
-    # over the tunnel) to noise: measured 2.79 ms/iter at n=30 vs 2.00 at
-    # n=200 — the latter is the true steady-state device throughput
     n_iters = 200
-    float(eval_chain(params, batch, n_iters))  # compile the timed chain
+    float(eval_chain(params, batch, 2))  # warmup/compile small
+    eval_compiled = eval_chain.lower(params, batch, n_iters).compile()
+    float(eval_compiled(params, batch))
     start = time.perf_counter()
-    float(eval_chain(params, batch, n_iters))
-    elapsed = time.perf_counter() - start
-    sps = batch_size * n_iters / elapsed
+    float(eval_compiled(params, batch))
+    eval_elapsed = time.perf_counter() - start
+    eval_sps = batch_size * n_iters / eval_elapsed
+    # XLA cost analysis reports a scan body ONCE, not x trip-count
+    # (calibrated against a known matmul chain): scale by n
+    eval_flops = _flops_of(eval_compiled) * n_iters
+
+    # ---- train step (loss + grads + Adam), sequential like an epoch -------
+    import optax
+
+    tx = optax.adam(learning_rate=1e-4, b1=0.9, b2=0.98)
+    opt_state = tx.init(params)
+
+    def loss_fn(p, feats, dropout_rng):
+        out = model.apply(
+            {"params": p},
+            {**batch, "region_features": feats},
+            train=True,
+            rngs={"dropout": dropout_rng},
+        )
+        onehot = jax.nn.one_hot(answers, out.shape[-1], dtype=out.dtype)
+        return -jnp.mean(jnp.sum(out * onehot, axis=-1))
+
+    @partial(jax.jit, static_argnames="n")
+    def train_chain(params, opt_state, batch, n):
+        def body(carry, i):
+            p, o, signal = carry
+            feats = batch["region_features"] + signal
+            rng_i = jax.random.fold_in(jax.random.PRNGKey(7), i)
+            loss, grads = jax.value_and_grad(loss_fn)(p, feats, rng_i)
+            updates, o = tx.update(grads, o, p)
+            p = optax.apply_updates(p, updates)
+            return (p, o, loss * 1e-12), None
+
+        carry, _ = jax.lax.scan(
+            body, (params, opt_state, jnp.float32(0.0)), jnp.arange(n)
+        )
+        return carry[2]
+
+    n_train = 100
+    float(train_chain(params, opt_state, batch, 2))
+    train_compiled = train_chain.lower(params, opt_state, batch, n_train).compile()
+    float(train_compiled(params, opt_state, batch))
+    start = time.perf_counter()
+    float(train_compiled(params, opt_state, batch))
+    train_elapsed = time.perf_counter() - start
+    train_sps = batch_size * n_train / train_elapsed
+    train_flops = _flops_of(train_compiled) * n_train  # scan body counted once
+
+    # ---- beam-3 generative eval (IterativeMCAN, the flagship decode) ------
+    beam_sps = None
+    try:
+        import sys
+
+        sys.path.insert(0, REPO)
+        import __graft_entry__ as graft
+        from openvivqa_tpu.training.decode import generate
+
+        beam_model = graft._iterative_mcan(d_model=512, layers=3, heads=8)
+        beam_bs, beam = 32, 3
+        beam_batch = graft._example_batch(
+            beam_bs, beam_model.vocab, n_regions=36, d_feature=64
+        )
+        beam_vars = jax.jit(lambda r, b: beam_model.init(r, b, train=False))(
+            jax.random.PRNGKey(0), beam_batch
+        )
+
+        @partial(jax.jit, static_argnames="n")
+        def beam_chain(params, batch, n):
+            def body(carry, _):
+                feats = batch["region_features"] + carry
+                outs, _ = generate(
+                    beam_model, {"params": params},
+                    {**batch, "region_features": feats},
+                    batch_size=beam_bs, beam_size=beam,
+                )
+                return jnp.sum(outs).astype(jnp.float32) * 1e-12, None
+
+            carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
+            return carry
+
+        n_beam = 30
+        float(beam_chain(beam_vars["params"], beam_batch, n_beam))
+        start = time.perf_counter()
+        float(beam_chain(beam_vars["params"], beam_batch, n_beam))
+        beam_elapsed = time.perf_counter() - start
+        beam_sps = beam_bs * n_beam / beam_elapsed
+    except Exception as exc:  # noqa: BLE001 — beam bench is best-effort
+        print(f"# beam bench skipped: {exc}", flush=True)
+
+    # ---- MFU ---------------------------------------------------------------
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind)
+    eval_mfu = eval_flops / eval_elapsed / peak if (peak and eval_flops) else None
+    train_mfu = (
+        train_flops / train_elapsed / peak if (peak and train_flops) else None
+    )
 
     baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
-    vs_baseline = None
+    vs_baseline = vs_baseline_train = None
     if os.path.isfile(baseline_path):
         with open(baseline_path) as handle:
             anchor = json.load(handle)
-        ref = anchor.get("mcan_eval_samples_per_sec")
-        if ref:
-            vs_baseline = sps / ref
+        if anchor.get("mcan_eval_samples_per_sec"):
+            vs_baseline = eval_sps / anchor["mcan_eval_samples_per_sec"]
+        if anchor.get("mcan_train_samples_per_sec"):
+            vs_baseline_train = train_sps / anchor["mcan_train_samples_per_sec"]
 
     print(
         json.dumps(
             {
                 "metric": "mcan_eval_samples_per_sec_per_chip",
-                "value": round(sps, 2),
+                "value": round(eval_sps, 2),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "train_samples_per_sec": round(train_sps, 2),
+                "vs_baseline_train": (
+                    round(vs_baseline_train, 2) if vs_baseline_train else None
+                ),
+                "beam_samples_per_sec": (
+                    round(beam_sps, 2) if beam_sps else None
+                ),
+                "eval_mfu": round(eval_mfu, 4) if eval_mfu else None,
+                "train_mfu": round(train_mfu, 4) if train_mfu else None,
+                "device_kind": kind,
             }
         )
     )
