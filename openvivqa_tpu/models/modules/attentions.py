@@ -79,11 +79,11 @@ class _ProjectionMixin:
         import math
 
         scale = 1.0 / math.sqrt(self.d_k)
-        from ...ops.fused_attention import fused_attention, use_fused_attention
+        from ...ops.fused_attention import fused_attention, should_use_fused
 
-        # the Pallas kernel keeps logits+softmax+PV in VMEM; keys up to ~2k
-        # tokens fit the per-core budget at d_head<=128
-        if use_fused_attention() and k.shape[2] <= 2048 and self.d_k <= 128:
+        # the Pallas kernel wins past the measured key-length crossover
+        # (ops/fused_attention.py) and is exact at default matmul precision
+        if should_use_fused(q.shape[2], k.shape[2], self.d_k):
             if attention_bias is not None and attention_bias.ndim != 4:
                 attention_bias = attention_bias.reshape(
                     (1,) * (4 - attention_bias.ndim) + attention_bias.shape
@@ -118,6 +118,32 @@ class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
         train: bool = False,
         **kwargs,
     ) -> jnp.ndarray:
+        import math
+
+        from ...ops.fused_attention import (
+            fused_attention_packed,
+            packed_attention_viable,
+            should_use_fused,
+        )
+
+        # packed Pallas path on the raw projections (no head-split
+        # transposes) for long streams; see ops/fused_attention.py
+        if (
+            self.d_k == self.d_v
+            and should_use_fused(queries.shape[1], keys.shape[1], self.d_k)
+            and (
+                attention_bias is None
+                or (attention_bias.ndim == 4 and attention_bias.shape[1] == 1)
+            )
+            and packed_attention_viable(
+                queries.shape[1], keys.shape[1], self.h * self.d_k, self.h
+            )
+        ):
+            out = fused_attention_packed(
+                self.fc_q(queries), self.fc_k(keys), self.fc_v(values),
+                attention_bias, 1.0 / math.sqrt(self.d_k), self.h,
+            )
+            return self.fc_o(out)
         q = self.project_q(queries)
         k, v = self.project_kv(keys, values)
         return self.attend(q, k, v, attention_bias)

@@ -36,24 +36,55 @@ class BertSelfAttention(nn.Module):
         kv = hidden_states if kv_states is None else kv_states
         head_dim = self.hidden_size // self.num_heads
 
-        def heads(x):
-            return x.reshape(x.shape[0], x.shape[1], self.num_heads, head_dim)
+        qp = nn.Dense(self.hidden_size, kernel_init=_normal)(hidden_states)
+        kp = nn.Dense(self.hidden_size, kernel_init=_normal)(kv)
+        vp = nn.Dense(self.hidden_size, kernel_init=_normal)(kv)
 
-        q = heads(nn.Dense(self.hidden_size, kernel_init=_normal)(hidden_states))
-        k = heads(nn.Dense(self.hidden_size, kernel_init=_normal)(kv))
-        v = heads(nn.Dense(self.hidden_size, kernel_init=_normal)(kv))
-
-        logits = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(float(head_dim))
-        if attention_bias is not None:
-            logits = logits + attention_bias
-        weights = jax.nn.softmax(logits, axis=-1)
-        weights = nn.Dropout(rate=self.dropout)(weights, deterministic=not train)
-        context = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
-        context = context.reshape(
-            context.shape[0], context.shape[1], self.hidden_size
+        from ...ops.fused_attention import (
+            fused_attention_packed,
+            packed_attention_viable,
+            should_use_fused,
         )
+
+        # Pallas packed kernel for the long streams (ViT 197 / BERT 256 /
+        # MMT 350-640 tokens: measured 1.4-1.8x over XLA on v5e,
+        # ops/fused_attention.py) — consumes the raw dense outputs, zero
+        # head-split transposes.  The weights-dropout branch needs the
+        # materialised weights, so the fused path covers eval/decode and
+        # dropout-0 training; per-head biases never reach this module.
+        use_fused = (
+            should_use_fused(qp.shape[1], kp.shape[1], head_dim)
+            and (not train or self.dropout == 0.0)
+            and (attention_bias is None or attention_bias.shape[1] == 1)
+            and packed_attention_viable(
+                qp.shape[1], kp.shape[1], self.hidden_size, self.num_heads
+            )
+        )
+        if use_fused:
+            context = fused_attention_packed(
+                qp, kp, vp, attention_bias,
+                1.0 / float(head_dim) ** 0.5, self.num_heads,
+            )
+        else:
+            def heads(x):
+                return x.reshape(
+                    x.shape[0], x.shape[1], self.num_heads, head_dim
+                )
+
+            q, k, v = heads(qp), heads(kp), heads(vp)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(float(head_dim))
+            if attention_bias is not None:
+                logits = logits + attention_bias
+            weights = jax.nn.softmax(logits, axis=-1)
+            weights = nn.Dropout(rate=self.dropout)(
+                weights, deterministic=not train
+            )
+            context = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+            context = context.reshape(
+                context.shape[0], context.shape[1], self.hidden_size
+            )
 
         out = nn.Dense(self.hidden_size, kernel_init=_normal)(context)
         out = nn.Dropout(rate=self.dropout)(out, deterministic=not train)

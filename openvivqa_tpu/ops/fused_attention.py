@@ -1,20 +1,38 @@
-"""Pallas TPU fused attention kernel.
+"""Pallas TPU fused attention kernels.
 
 The hot op of every model in this framework is softmax(QK^T/sqrt(d)+bias)V
-over short-to-medium sequences (16..~600 tokens, d_head 64; SURVEY.md §2.4).
-XLA materialises the (bs, h, q, k) logits in HBM between the two matmuls;
-this kernel keeps the whole tile pipeline in VMEM: for each (batch, head,
-q-block) grid cell it loads the full K/V rows (they fit VMEM at these
-lengths), computes logits + additive bias, a numerically-stable softmax and
-the PV product in one pass, writing only the (bq, d) output block.
+(SURVEY.md §2.4).  XLA materialises the (bs, h, q, k) logits tensor in HBM
+between the two matmuls; these kernels keep the whole pipeline in VMEM.
 
-Masking is the framework-wide additive 0/-10e4 bias, broadcast over any of
-(bs, h, q); sequence lengths are padded to tile multiples inside the wrapper
-with -10e4 key-padding so results are exact.
+Two kernels, tuned on a real v5e (scripts/bench_attention_shapes.py):
 
-Use `use_fused_attention()` to check availability (TPU backend + supported
-shapes); the MultiHeadAttention cores call through `fused_attention` with
-automatic XLA fallback.
+* `fused_attention_packed` — the production path.  Consumes the RAW dense
+  projection outputs in (b, S, h*d) layout (zero host-side
+  transposes/reshapes), grid over (batch, q-block), all heads per grid
+  cell as static in-kernel slices, K/V blocks revisited across q-blocks so
+  they are DMA'd once per batch row.  Measured vs XLA:
+      ViT stream   (b64 h12 197 keys, d64):   1.46x
+      BERT stream  (b64 h12 256 keys, d64):   1.38x
+      MMT joint    (b64 h8  384 keys, d96):   1.82x
+      MMT joint    (b32 h8  512 keys, d96):   1.74x
+      MCAN region  (b64 h8  100 keys, d64):   0.79x  (XLA keeps it)
+  `should_use_fused` encodes the measured ~192-key crossover; call sites
+  consult it by default (OPENVIVQA_FUSED_ATTENTION=0/1 forces off/on).
+
+* `fused_attention` — (b, h, S, d) layout compatibility wrapper: grid over
+  the flattened batch*head dim, whole sequence per cell.  Useful when the
+  caller already holds split-head tensors; slower than packed because the
+  caller paid the split transpose.
+
+Shared kernel rules (all measured, see git history for the losing
+variants):
+* NO explicit operand padding — Mosaic tracks logical shapes for native
+  head dims (64/96) and odd sequence lengths (197); padding to 128 doubled
+  input traffic and was why the v1 kernel lost everywhere;
+* bf16 dot operands with f32 accumulation — identical numerics to XLA's
+  default matmul precision (the MXU rounds f32 operands to bf16 anyway,
+  CLAUDE.md measured facts) at full MXU rate;
+* backward = analytic XLA gradients via custom_vjp (Pallas forward only).
 """
 
 from __future__ import annotations
@@ -30,33 +48,261 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_VALUE = -10e4
 
-_BLOCK_Q = 128
-_LANE = 128
+# measured crossover vs XLA (v5e): ViT's 197-key stream wins, MCAN's
+# 100-key stream does not
+_MIN_WINNING_KEYS = 192
+# VMEM plan budget (double-buffered blocks + logits scratch); the chip has
+# ~16 MB of VMEM and Mosaic needs headroom
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+def use_fused_attention() -> Optional[bool]:
+    """Tri-state override: None (shape heuristic decides, the default),
+    True (force on wherever supported), False (force off)."""
+    flag = os.environ.get("OPENVIVQA_FUSED_ATTENTION", "").lower()
+    if flag in ("1", "on", "true"):
+        return True
+    if flag in ("0", "off", "false"):
+        return False
+    return None
 
 
-def use_fused_attention() -> bool:
-    """Opt-in (OPENVIVQA_FUSED_ATTENTION=1).
-
-    Measured on v5e MCAN eval (batch 64, 100 regions, d_head 64): the XLA
-    path runs 23.1k samples/s vs 12.3k with this kernel — at these short,
-    unaligned sequence lengths the tile padding (100->128 keys, 64->128
-    head dim) costs more than the saved HBM logits round-trip, and XLA's
-    fusion is already near-roofline.  The kernel exists for long-sequence
-    workloads (512+ keys, d_head 128) where the balance flips.
-    """
-    flag = os.environ.get("OPENVIVQA_FUSED_ATTENTION", "0").lower()
-    return flag in ("1", "on", "true")
+@functools.lru_cache(maxsize=1)
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)  # (bq, d)
-    k = k_ref[0, 0].astype(jnp.float32)  # (Sk, d)
-    v = v_ref[0, 0].astype(jnp.float32)  # (Sk, d)
-    bias = bias_ref[0, 0].astype(jnp.float32)  # (bq, Sk)
+def plan_q_block(sq: int, sk: int, hd: int, full_bias: bool) -> Optional[int]:
+    """Largest q-block (whole sq preferred) whose double-buffered blocks +
+    logits scratch fit the VMEM budget; None when no block works."""
+    candidates = [sq] + [b for b in (512, 384, 256, 128, 64, 32, 16, 8) if sq % b == 0]
+    for qblk in candidates:
+        kv_bytes = 2 * sk * hd * 4 * 2
+        q_bytes = 2 * qblk * hd * 4 * 2
+        bias_bytes = (qblk if full_bias else 1) * sk * 4 * 2
+        logits_bytes = 2 * qblk * sk * 4  # per-head scratch (+ exp temp)
+        if kv_bytes + q_bytes + bias_bytes + logits_bytes <= _VMEM_BUDGET:
+            return qblk
+    return None
+
+
+def fused_attention_wins(sq: int, sk: int, d: int) -> bool:
+    """Measured decision rule: the kernel beats XLA once the key length
+    clears the crossover."""
+    return sk >= _MIN_WINNING_KEYS and d <= 256
+
+
+def should_use_fused(sq: int, sk: int, d: int) -> bool:
+    if not _on_tpu():
+        return False  # Mosaic kernels only lower on the TPU backend
+    override = use_fused_attention()
+    if override is False:
+        return False
+    if override is True:
+        return d <= 256
+    return fused_attention_wins(sq, sk, d)
+
+
+# ---------------------------------------------------------------------------
+# packed kernel: (b, S, h*d) layout, all heads per grid cell
+# ---------------------------------------------------------------------------
+def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, h, d):
+    bias = bias_ref[0].astype(jnp.float32)  # (bq, Sk), bq in {1, qblk}
+    for i in range(h):
+        q = q_ref[0, :, i * d:(i + 1) * d].astype(jnp.bfloat16)
+        k = k_ref[0, :, i * d:(i + 1) * d].astype(jnp.bfloat16)
+        v = v_ref[0, :, i * d:(i + 1) * d].astype(jnp.bfloat16)
+        logits = (
+            jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + bias
+        )
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        unnormalised = jnp.exp(logits - row_max)
+        weights = (
+            unnormalised / jnp.sum(unnormalised, axis=-1, keepdims=True)
+        ).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            weights, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, i * d:(i + 1) * d] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "num_heads", "q_block"))
+def _packed_call(q, k, v, biasf, scale: float, num_heads: int, q_block: int):
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // num_heads
+    bq = biasf.shape[1]
+    bias_qblk = q_block if bq > 1 else 1
+    nq = sq // q_block
+
+    return pl.pallas_call(
+        functools.partial(_packed_kernel, scale=scale, h=num_heads, d=d),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec(
+                (1, q_block, hd), lambda bi, qi: (bi, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # K/V index maps ignore qi: consecutive q-blocks revisit the
+            # same block, so Mosaic skips the re-fetch
+            pl.BlockSpec(
+                (1, sk, hd), lambda bi, qi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, sk, hd), lambda bi, qi: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bias_qblk, sk),
+                (lambda bi, qi: (bi, qi, 0))
+                if bias_qblk > 1
+                else (lambda bi, qi: (bi, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, q_block, hd), lambda bi, qi: (bi, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * sq * sk * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size) * 4,
+            transcendentals=b * num_heads * sq * sk,
+        ),
+    )(q, k, v, biasf)
+
+
+def _normalise_bias_packed(bias, b: int, sq: int, sk: int):
+    """(b?, 1, bq?, sk) additive bias -> (b, bq, sk) with bq in {1, sq}.
+    Per-head biases are not supported by the packed kernel (the geometry/
+    memory attention variants keep the XLA path)."""
+    if bias is None:
+        return jnp.zeros((1, 1, sk), jnp.float32), False
+    if bias.ndim != 4 or bias.shape[1] != 1:
+        raise ValueError(
+            f"packed fused attention needs a head-shared (b,1,q,k) bias, "
+            f"got {bias.shape}"
+        )
+    bias = bias.astype(jnp.float32)
+    bb, _, bq, bk = bias.shape
+    if bk != sk or (bq not in (1, sq)):
+        bias = jnp.broadcast_to(bias, (bb, 1, sq, sk))
+        bq = sq
+    if bb == 1 and bq == 1:
+        return bias[:, 0], False
+    if bb != b:
+        bias = jnp.broadcast_to(bias, (b, 1, bq, sk))
+    return bias[:, 0], bq > 1
+
+
+def packed_attention_viable(sq: int, sk: int, hd: int, num_heads: int) -> bool:
+    return (
+        hd % num_heads == 0
+        and plan_q_block(sq, sk, hd, full_bias=True) is not None
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_attention_packed(q, k, v, bias, scale: float, num_heads: int):
+    """softmax over packed projections: q (b, Sq, h*d), k/v (b, Sk, h*d),
+    bias broadcastable to (b, 1, Sq, Sk) (head-shared) or None.  Returns
+    (b, Sq, h*d) — the layout the output projection consumes directly."""
+    return _fused_packed_impl(q, k, v, bias, scale, num_heads)
+
+
+def _fused_packed_impl(q, k, v, bias, scale, num_heads):
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    biasf, full_bias = _normalise_bias_packed(bias, b, sq, sk)
+    q_block = plan_q_block(sq, sk, hd, full_bias)
+    if q_block is None:
+        raise ValueError(
+            f"no viable q-block for packed attention (sq={sq}, sk={sk}, "
+            f"hd={hd}) — guard calls with packed_attention_viable"
+        )
+    if biasf.shape[0] == 1 and b > 1:
+        biasf = jnp.broadcast_to(biasf, (b,) + biasf.shape[1:])
+    return _packed_call(q, k, v, biasf, scale, num_heads, q_block)
+
+
+def _xla_packed(q, k, v, bias, scale, num_heads):
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // num_heads
+    qh = q.reshape(b, sq, num_heads, d)
+    kh = k.reshape(b, sk, num_heads, d)
+    vh = v.reshape(b, sk, num_heads, d)
+    logits = (
+        jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+        * scale
+    )
+    if bias is not None:
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, vh)
+    return out.reshape(b, sq, hd), weights
+
+
+def _packed_fwd(q, k, v, bias, scale, num_heads):
+    return _fused_packed_impl(q, k, v, bias, scale, num_heads), (q, k, v, bias)
+
+
+def _packed_bwd(scale, num_heads, residuals, g):
+    q, k, v, bias = residuals
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // num_heads
+    _, weights = _xla_packed(q, k, v, bias, scale, num_heads)
+    gh = g.reshape(b, sq, num_heads, d)
+    vh = v.reshape(b, sk, num_heads, d)
+    qh = q.reshape(b, sq, num_heads, d)
+    kh = k.reshape(b, sk, num_heads, d)
+
+    dv = jnp.einsum("bhqk,bqhd->bkhd", weights, gh)
+    dw = jnp.einsum("bqhd,bkhd->bhqk", gh, vh)
+    dlogits = weights * (dw - jnp.sum(dw * weights, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bkhd->bqhd", dlogits, kh) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", dlogits, qh) * scale
+
+    dbias = None
+    if bias is not None:
+        dbias = dlogits
+        for axis, (bdim, ldim) in enumerate(zip(bias.shape, dlogits.shape)):
+            if bdim == 1 and ldim != 1:
+                dbias = jnp.sum(dbias, axis=axis, keepdims=True)
+        dbias = dbias.astype(bias.dtype)
+    return (
+        dq.reshape(b, sq, hd),
+        dk.reshape(b, sk, hd),
+        dv.reshape(b, sk, hd),
+        dbias,
+    )
+
+
+fused_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# (b, h, S, d) layout wrapper: grid over batch*head, whole sequence per cell
+# ---------------------------------------------------------------------------
+def _flat_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
+    q = q_ref[0].astype(jnp.bfloat16)  # (Sq, d)
+    k = k_ref[0].astype(jnp.bfloat16)  # (Sk, d)
+    v = v_ref[0].astype(jnp.bfloat16)  # (Sk, d)
+    bias = bias_ref[0].astype(jnp.float32)  # (bq, Sk)
 
     logits = (
         jax.lax.dot_general(
@@ -69,64 +315,51 @@ def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
     )
     row_max = jnp.max(logits, axis=-1, keepdims=True)
     unnormalised = jnp.exp(logits - row_max)
-    denom = jnp.sum(unnormalised, axis=-1, keepdims=True)
-    weights = unnormalised / denom
+    weights = (
+        unnormalised / jnp.sum(unnormalised, axis=-1, keepdims=True)
+    ).astype(jnp.bfloat16)
     out = jax.lax.dot_general(
         weights, v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    out_ref[0, 0] = out.astype(out_ref.dtype)
+    out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale",))
-def _fused_attention_padded(q, k, v, bias, scale: float):
-    b, h, sq, d = q.shape
-    sk = k.shape[2]
-    block_q = min(_BLOCK_Q, sq)
-    grid = (b, h, sq // block_q)
+@functools.partial(jax.jit, static_argnames=("scale", "heads"))
+def _fused_attention_flat(qf, kf, vf, biasf, scale: float, heads: int):
+    """qf/kf/vf: (b*h, S, d); biasf: (n_bias, bq, sk) where n_bias is
+    1 (constant), b (per-batch, index i//h) or b*h (per-head, index i)."""
+    bh, sq, d = qf.shape
+    sk = kf.shape[1]
+    n_bias, bq, _ = biasf.shape
 
-    def q_index(bi, hi, qi):
-        return (bi, hi, qi, 0)
-
-    def kv_index(bi, hi, qi):
-        return (bi, hi, 0, 0)
-
-    bias_b = 0 if bias.shape[0] == 1 else None
-    bias_h = 0 if bias.shape[1] == 1 else None
-    bias_q = 0 if bias.shape[2] == 1 else None
-
-    def bias_index(bi, hi, qi):
-        return (
-            0 if bias_b == 0 else bi,
-            0 if bias_h == 0 else hi,
-            0 if bias_q == 0 else qi,
-            0,
-        )
-
-    bias_block_q = 1 if bias.shape[2] == 1 else block_q
+    if n_bias == 1:
+        bias_index = lambda i: (0, 0, 0)  # noqa: E731
+    elif n_bias == bh:
+        bias_index = lambda i: (i, 0, 0)  # noqa: E731
+    else:
+        bias_index = lambda i: (i // heads, 0, 0)  # noqa: E731
 
     return pl.pallas_call(
-        functools.partial(_attention_kernel, scale=scale),
-        grid=grid,
+        functools.partial(_flat_kernel, scale=scale),
+        grid=(bh,),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, d), q_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk, d), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, sk, d), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, bias_block_q, sk), bias_index, memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec((1, sq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, sk), bias_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, block_q, d), q_index, memory_space=pltpu.VMEM
+            (1, sq, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, sq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), qf.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * sq * sk * d,
-            bytes_accessed=(q.size + k.size + v.size + b * h * sq * d) * 4,
-            transcendentals=b * h * sq * sk,
+            flops=4 * bh * sq * sk * d,
+            bytes_accessed=(qf.size + kf.size + vf.size + bh * sq * d) * 4,
+            transcendentals=bh * sq * sk,
         ),
-    )(q, k, v, bias)
+    )(qf, kf, vf, biasf)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -137,14 +370,11 @@ def fused_attention(
     bias: Optional[jnp.ndarray],
     scale: float,
 ) -> jnp.ndarray:
-    """softmax(q k^T * scale + bias) v with VMEM-resident fusion.
+    """softmax(q k^T * scale + bias) v for split-head layout.
 
     q: (b, h, Sq, d); k, v: (b, h, Sk, d); bias broadcastable to
     (b, h, Sq, Sk) using the additive 0/-10e4 convention (or None).
-    Pads Sq/Sk/d to tile multiples; exact w.r.t. the XLA reference.
-    Differentiable: the backward pass recomputes the softmax with XLA ops
-    and applies the analytic attention gradients (custom VJP — Pallas
-    forward, XLA backward).
+    Exact w.r.t. the XLA reference at default matmul precision.
     """
     return _fused_attention_impl(q, k, v, bias, scale)
 
@@ -153,65 +383,57 @@ def _fused_attention_impl(q, k, v, bias, scale):
     b, h, sq, d = q.shape
     sk = k.shape[2]
 
-    sq_pad = _round_up(max(sq, 8), 8 if sq <= _BLOCK_Q else _BLOCK_Q)
-    if sq_pad > _BLOCK_Q:
-        sq_pad = _round_up(sq, _BLOCK_Q)
-    sk_pad = _round_up(sk, _LANE)
-    d_pad = _round_up(d, _LANE)
+    qf = q.reshape(b * h, sq, d)
+    kf = k.reshape(b * h, sk, d)
+    vf = v.reshape(b * h, sk, d)
 
     if bias is None:
-        bias = jnp.zeros((1, 1, 1, sk), q.dtype)
-    bias = bias.astype(jnp.float32)
+        biasf = jnp.zeros((1, 1, sk), jnp.float32)
+    else:
+        bias = bias.astype(jnp.float32)
+        bb, bh_, bq, bk = bias.shape
+        if bk != sk:
+            bias = jnp.broadcast_to(bias, (bb, bh_, bq, sk))
+        if bh_ > 1:  # per-head bias (geometry/memory variants)
+            full = jnp.broadcast_to(bias, (b, h, bq, sk))
+            biasf = full.reshape(b * h, bq, sk)
+        else:
+            biasf = bias[:, 0]
 
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, sq_pad - sq), (0, d_pad - d)))
-    kp = jnp.pad(k, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, sk_pad - sk), (0, d_pad - d)))
-    # padded keys must never win the softmax
-    biasp = jnp.pad(
-        bias,
-        (
-            (0, 0), (0, 0),
-            (0, (sq_pad - sq) if bias.shape[2] > 1 else 0),
-            (0, sk_pad - sk),
-        ),
-        constant_values=MASK_VALUE,
-    )
-
-    out = _fused_attention_padded(qp, kp, vp, biasp, scale)
-    return out[:, :, :sq, :d]
+    out = _fused_attention_flat(qf, kf, vf, biasf, scale, h)
+    return out.reshape(b, h, sq, d)
 
 
-def _softmax_probs(q, k, bias, scale):
-    logits = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) * scale
-    if bias is not None:
-        logits = logits + bias
-    return jax.nn.softmax(logits, axis=-1)
-
-
-def _fused_attention_fwd(q, k, v, bias, scale):
+def _fwd(q, k, v, bias, scale):
     return _fused_attention_impl(q, k, v, bias, scale), (q, k, v, bias)
 
 
-def _fused_attention_bwd(scale, residuals, g):
+def _bwd(scale, residuals, g):
     q, k, v, bias = residuals
-    probs = _softmax_probs(q, k, bias, scale)  # (b,h,q,k)
-    g = g.astype(probs.dtype)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", probs, g)
-    dprobs = jnp.einsum("bhqd,bhkd->bhqk", g, v)
-    dlogits = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1, keepdims=True))
+    logits = (
+        jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
+    if bias is not None:
+        logits = logits + bias
+    weights = jax.nn.softmax(logits, axis=-1)
+
+    dv = jnp.einsum("bhqk,bhqd->bhkd", weights, g)
+    dw = jnp.einsum("bhqd,bhkd->bhqk", g, v)
+    dlogits = weights * (dw - jnp.sum(dw * weights, axis=-1, keepdims=True))
     dq = jnp.einsum("bhqk,bhkd->bhqd", dlogits, k) * scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", dlogits, q) * scale
-    if bias is None:
-        dbias = None
-    else:
+
+    dbias = None
+    if bias is not None:
         dbias = dlogits
-        for axis in range(4):
-            if bias.shape[axis] == 1 and dlogits.shape[axis] != 1:
+        for axis, (bdim, ldim) in enumerate(zip(bias.shape, dlogits.shape)):
+            if bdim == 1 and ldim != 1:
                 dbias = jnp.sum(dbias, axis=axis, keepdims=True)
         dbias = dbias.astype(bias.dtype)
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
+    return (dq, dk, dv, dbias)
 
 
-fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+fused_attention.defvjp(_fwd, _bwd)
