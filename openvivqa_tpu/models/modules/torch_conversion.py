@@ -400,6 +400,15 @@ def convert_mmf_iterative_m4c(state_dict: Mapping[str, Any], config) -> Dict:
     return params
 
 
+def _unsupported(reason: str):
+    def converter(state_dict, config):
+        raise NotImplementedError(
+            f"no checkpoint converter for {config.ARCHITECTURE}: {reason}"
+        )
+
+    return converter
+
+
 MODEL_CONVERTERS = {
     "IterativeMCAN": convert_iterative_mcan,
     "ReadableIterativeMCAN": convert_iterative_mcan,
@@ -409,6 +418,33 @@ MODEL_CONVERTERS = {
     "MMF_REGIONAL_M4C": convert_mmf_regional_m4c,
     "MMF_IterativeM4C": convert_mmf_iterative_m4c,
     "MMF_Iterative_Multilevel_M4C": convert_mmf_iterative_m4c,
+    # Documented hard-unsupported (VERDICT r1 item 7): these reference
+    # checkpoints describe DIFFERENT architectures than the ones this
+    # framework runs under the same registry names, so a weight mapping
+    # would be semantically wrong, not merely unimplemented.
+    "M4C": _unsupported(
+        "the reference's standalone M4C (m4c.py:35-235) has its own layout "
+        "(question_embedding/question_encoder BertEmbeddings+BertEncoder, "
+        "a single joint `encoder`, dynamic_embedding, "
+        "DynamicPointerNetwork, vocab_proj — with obj/ocr bbox projections "
+        "swapped at m4c.py:107/133), while this framework registers M4C as "
+        "the canonical MMF_M4C; train fresh or migrate an MMF_M4C "
+        "checkpoint instead"
+    ),
+    "MMF_SAL": _unsupported(
+        "the reference MMF_SAL (mmf_sal.py:44-88) encodes questions with "
+        "an HF text-embedding wrapper over raw strings (not TextBert over "
+        "vocab ids) and carries dead ocr_word_embedding/"
+        "ocr_text_layer_norm modules its forward never uses; this "
+        "framework's MMF_SAL implements the intended extra OCR "
+        "word-embedding stream, so the parameter sets do not correspond"
+    ),
+    "experimental_MMF_M4C": _unsupported(
+        "the reference experimental_MMF_M4C (experimental_mmf_m4c.py:"
+        "22-470) carries experimental text-encoding modules with no "
+        "counterpart in this framework's variant (which re-encodes the "
+        "question against the object stream); train fresh"
+    ),
 }
 
 

@@ -59,3 +59,29 @@ def _task_vocab_len(config):
     from openvivqa_tpu.builders import build_vocab
 
     return len(build_vocab(config.DATASET.VOCAB))
+
+
+def test_unsupported_architectures_refuse_with_reason():
+    """M4C / MMF_SAL / experimental_MMF_M4C reference checkpoints describe
+    different architectures than the registry names run here; the converter
+    must refuse with a layout-specific reason, not silently mis-map."""
+    import pytest as _pytest
+
+    from openvivqa_tpu.config import ConfigNode
+    from openvivqa_tpu.models.modules.torch_conversion import (
+        convert_reference_checkpoint,
+    )
+
+    for name, needle in (
+        ("M4C", "m4c.py:35-235"),
+        ("MMF_SAL", "mmf_sal.py:44-88"),
+        ("experimental_MMF_M4C", "experimental_mmf_m4c.py"),
+    ):
+        with _pytest.raises(NotImplementedError, match=name):
+            try:
+                convert_reference_checkpoint(
+                    {"state_dict": {}}, ConfigNode({"ARCHITECTURE": name})
+                )
+            except NotImplementedError as exc:
+                assert needle in str(exc)
+                raise

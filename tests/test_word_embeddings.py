@@ -70,3 +70,20 @@ def test_frozen_embedding_collection(synthetic_data):
     # the frozen table must not receive gradients (it is not in params)
     flat_params = jax.tree_util.tree_leaves(variables["params"])
     assert all(p.shape != (len(vocab), 300) for p in flat_params)
+
+
+def test_missing_cache_hard_fails_without_opt_in(monkeypatch, tmp_path):
+    """A configured-but-missing embedding cache must raise, not silently
+    train a different model (VERDICT r1); the env opt-in restores the
+    documented pseudo-random fallback."""
+    import pytest
+
+    monkeypatch.delenv("OPENVIVQA_ALLOW_RANDOM_EMBEDDINGS", raising=False)
+    with pytest.raises(FileNotFoundError, match="OPENVIVQA_ALLOW_RANDOM"):
+        WordEmbedding("word2vec_vi_words_100dims.txt", cache=str(tmp_path))
+
+    monkeypatch.setenv("OPENVIVQA_ALLOW_RANDOM_EMBEDDINGS", "1")
+    emb = WordEmbedding(
+        "word2vec_vi_words_100dims.txt", cache=str(tmp_path), dim=100
+    )
+    assert emb["mèo"].shape == (100,)
