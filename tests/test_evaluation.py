@@ -108,9 +108,36 @@ def test_exact_metrics():
 
 def test_meteor_basics():
     score, scores = Meteor().compute_score(GTS, GEN)
-    assert scores[3] == pytest.approx(1.0 - 0.5 * (1 / 5) ** 3)  # exact match
+    # METEOR 1.5 semantics: a single chunk covering both sides fully has
+    # zero fragmentation penalty -> identical strings score 1.0
+    assert scores[3] == pytest.approx(1.0)
+    assert scores[0] == pytest.approx(1.0)
     assert scores[4] < scores[0]  # mostly-wrong < exact
     assert 0.0 <= score <= 1.0
+
+
+def test_meteor_15_semantics():
+    from openvivqa_tpu.evaluation.meteor import _sentence_meteor
+
+    # partial overlap, hand-computed: "màu xanh" vs "màu đỏ" matches only
+    # "màu" (content words, weight delta cancels): P = R = 0.5,
+    # Fmean = PR/(aP+(1-a)R) = 0.5, pen = gamma*(1/1)^beta = 0.6
+    assert _sentence_meteor("màu xanh", ["màu đỏ"]) == pytest.approx(0.2)
+
+    # the stem stage (Snowball English) credits morphological variants
+    stemmed = _sentence_meteor("the cats sat", ["the cat sat"])
+    exact = _sentence_meteor("the dogs sat", ["the cat sat"])
+    assert stemmed > exact
+    assert stemmed < 1.0  # stem weight 0.6 < exact weight 1.0
+
+    # word-order fragmentation is penalised
+    assert _sentence_meteor("sat cat the", ["the cat sat"]) < 1.0
+
+    # function words carry (1 - delta) weight: mismatching only an article
+    # hurts less than mismatching only a content word
+    art = _sentence_meteor("a cat sat", ["the cat sat"])
+    content = _sentence_meteor("the dog sat", ["the cat sat"])
+    assert art > content
 
 
 def test_compute_scores_dispatch():
