@@ -7,8 +7,8 @@ Parity targets:
   [txt,obj,ocr] + causal cross-attention BertEncoder decoder).
 * MMF_Iterative_Multilevel_M4C — mmf_iterative_multilevel_m4c.py:14-362
   (decoder layer i cross-attends encoder layer i's hidden states).
-* MMF_LanguageAdaptiveM4C — mmf_language_adaptive_m4c.py:18-251 (question
-  encoded by a per-language text encoder, selected per sample).
+* MMF_LanguageAdaptiveM4C — mmf_language_adaptive_m4c.py:18-251 (one
+  frozen multilingual pretrained backbone + trainable fine-tune encoder).
 * MMF_SAL — mmf_sal.py:21-379 (extra OCR word-embedding stream in the MMT).
 * M4C — m4c.py:35-235 (standalone reimplementation; same architecture as
   MMF_M4C here, registered under its own name).
@@ -249,44 +249,77 @@ class MMF_Iterative_Multilevel_M4C(_IterativeM4CBase):
 
 @META_ARCHITECTURE.register()
 class MMF_LanguageAdaptiveM4C(MMF_M4C):
-    """Question encoded per-language (PretrainedAdaptiveTextBert,
-    mmf_language_adaptive_m4c.py:204-251): one text stack per configured
-    language, outputs selected by the per-sample `language_id` batch field
-    (0 when absent).  The reference dispatches to per-language HF AutoModels
-    on host; on TPU all stacks run and a where-select keeps shapes static."""
+    """Language-adaptive question encoding (PretrainedAdaptiveTextBert,
+    mmf_language_adaptive_m4c.py:204-251): ONE frozen multilingual
+    pretrained backbone at D_LANGUAGE dims (the reference loads
+    `AutoModel.from_pretrained(TEXT_BERT.PRETRAINED_NAME)`, e.g.
+    vinai/phobert-base, and freezes it), an optional projection when
+    D_LANGUAGE != the MMT hidden size, then a TRAINABLE fine-tuning
+    BertEncoder at TEXT_BERT.{HIDDEN_SIZE, NUM_HIDDEN_LAYERS,
+    NUM_ATTENTION_HEADS}.
+
+    (Round 1 shipped a per-language-stack stand-in here — 3x the text
+    FLOPs and not the reference architecture; replaced in round 2.)
+
+    Input ids: `question_backbone_tokens` when the dataset is configured
+    with the matching HF tokenizer (pad id 0 unless PRETRAINED_PAD_ID),
+    else the framework vocab ids."""
 
     def setup(self):
         super().setup()
-        languages = self.config.get("LANGUAGES", ("vi", "en", "ja"))
-        self.n_languages = len(languages)
-        self.language_text_berts = [
-            TextBert(
-                self.config.TEXT_BERT,
-                num_heads=self.num_heads,
-                vocab_size=len(self.vocab),
-                name=f"text_bert_{lang}",
-            )
-            for lang in languages
-        ]
+        c = self.config.TEXT_BERT
+        self.d_language = int(c.get("D_LANGUAGE") or 768)
+        backbone_layers = int(c.get("PRETRAINED_LAYERS") or 12)
+        from .modules.pretrained_embeddings import _BERT_FAMILY_VOCABS
+
+        table_rows = max(
+            len(self.vocab),
+            int(
+                c.get("PRETRAINED_VOCAB_SIZE")
+                or _BERT_FAMILY_VOCABS.get(c.get("PRETRAINED_NAME"), 30522)
+            ),
+        )
+        from .modules.bert import BertEmbeddings
+
+        self.language_embeddings = BertEmbeddings(
+            vocab_size=table_rows, hidden_size=self.d_language
+        )
+        self.language_backbone = BertEncoderStack(
+            hidden_size=self.d_language,
+            num_layers=backbone_layers,
+            num_heads=int(
+                c.get("PRETRAINED_HEADS") or max(1, self.d_language // 64)
+            ),
+            intermediate_size=c.get("PRETRAINED_INTERMEDIATE_SIZE"),
+        )
+        if self.d_language != self.hidden_size:
+            self.language_proj = nn.Dense(self.hidden_size, kernel_init=_normal)
+        else:
+            self.language_proj = None
+        self.finetune_encoder = BertEncoderStack(
+            hidden_size=self.hidden_size,
+            num_layers=self.config.TEXT_BERT.NUM_HIDDEN_LAYERS,
+            num_heads=self.num_heads,
+            intermediate_size=self.config.TEXT_BERT.get("INTERMEDIATE_SIZE"),
+        )
 
     def _txt(self, batch: BatchArrays, train: bool):
-        txt_bias = padding_bias(batch["question_tokens"], self.vocab.padding_idx)
-        language_id = batch.get(
-            "language_id",
-            jnp.zeros(batch["question_tokens"].shape[:1], jnp.int32),
+        if "question_backbone_tokens" in batch:
+            tokens = batch["question_backbone_tokens"]
+            pad_idx = int(self.config.TEXT_BERT.get("PRETRAINED_PAD_ID") or 0)
+        else:
+            tokens = batch["question_tokens"]
+            pad_idx = self.vocab.padding_idx
+        txt_bias = padding_bias(tokens, pad_idx)
+
+        embedded = self.language_embeddings(tokens, train=False)
+        encoded = self.language_backbone(
+            embedded, attention_bias=txt_bias, train=False
         )
-        outputs = jnp.stack(
-            [
-                bert(batch["question_tokens"], txt_bias, train=train)
-                for bert in self.language_text_berts
-            ],
-            axis=0,
-        )  # (n_lang, bs, L, h)
-        index = jnp.broadcast_to(
-            language_id[None, :, None, None].astype(jnp.int32),
-            (1,) + outputs.shape[1:],
+        encoded = jax.lax.stop_gradient(encoded)  # frozen pretrained LM
+        if self.language_proj is not None:
+            encoded = self.language_proj(encoded)
+        encoded = self.finetune_encoder(
+            encoded, attention_bias=txt_bias, train=train
         )
-        selected = jnp.take_along_axis(outputs, index, axis=0)[0]
-        if self.uses_text_proj:
-            selected = self.text_bert_out_linear(selected)
-        return selected, txt_bias
+        return encoded, txt_bias

@@ -336,6 +336,60 @@ def convert_mmf_m4c(state_dict: Mapping[str, Any], config) -> Dict:
     return params
 
 
+def convert_mmf_language_adaptive(state_dict: Mapping[str, Any], config) -> Dict:
+    """MMF_LanguageAdaptiveM4C: MMF_M4C body + PretrainedAdaptiveTextBert
+    (mmf_language_adaptive_m4c.py:204-251 — one frozen multilingual
+    AutoModel under `text_bert.embedding.`, optional projection, trainable
+    fine-tune BertEncoder under `text_bert.encoder.`)."""
+    from .hf_conversion import convert_bert_weights, convert_roberta_weights
+
+    sd = StateDict(state_dict)
+    params = convert_mmf_m4c(state_dict, config)
+    del params["text_bert"]  # replaced by the adaptive trio below
+    params.pop("text_bert_out_linear", None)
+
+    prefix = "text_bert.embedding."
+    backbone_sd = {
+        key[len(prefix):]: value
+        for key, value in sd._mapping.items()
+        if key.startswith(prefix)
+    }
+    layers = int(config.TEXT_BERT.get("PRETRAINED_LAYERS") or 12)
+    name = str(config.TEXT_BERT.get("PRETRAINED_NAME") or "")
+    roberta_like = any(tag in name.lower() for tag in ("roberta", "phobert", "xlm"))
+    converted = (
+        convert_roberta_weights(backbone_sd, layers)
+        if roberta_like
+        else convert_bert_weights(backbone_sd, layers)
+    )
+    # pad the checkpoint's embedding tables up to the rows the model builds
+    # (BertEmbeddings defaults: 512 positions, 2 token types; vocab rows per
+    # the model's PRETRAINED_VOCAB_SIZE/len(vocab) rule)
+    def pad_rows(tree: Dict, key: str, rows: int) -> None:
+        table = np.asarray(tree[key]["embedding"])
+        if table.shape[0] < rows:
+            pad = np.zeros((rows - table.shape[0], table.shape[1]), table.dtype)
+            tree[key] = {"embedding": np.concatenate([table, pad], axis=0)}
+        elif table.shape[0] > rows:
+            tree[key] = {"embedding": table[:rows]}
+
+    embeddings = {k: dict(v) for k, v in converted["embeddings"].items()}
+    vocab_rows = np.asarray(embeddings["Embed_0"]["embedding"]).shape[0]
+    configured = int(config.TEXT_BERT.get("PRETRAINED_VOCAB_SIZE") or 0)
+    if configured:
+        pad_rows(embeddings, "Embed_0", max(configured, vocab_rows))
+    pad_rows(embeddings, "Embed_1", 512)
+    pad_rows(embeddings, "Embed_2", 2)
+    params["language_embeddings"] = embeddings
+    params["language_backbone"] = converted["encoder"]
+    if "text_bert.text_bert_out_linear.weight" in sd:
+        params["language_proj"] = linear(sd, "text_bert.text_bert_out_linear")
+    params["finetune_encoder"] = hf_bert_encoder(
+        sd, "text_bert.encoder", config.TEXT_BERT.NUM_HIDDEN_LAYERS
+    )
+    return params
+
+
 def convert_mmf_regional_m4c(state_dict: Mapping[str, Any], config) -> Dict:
     """MMF_REGIONAL_M4C: MMF_M4C + the grid/"region" stream modules
     (mmf_regional_m4c.py:29-39).  Weight layout converts exactly; note the
@@ -418,6 +472,7 @@ MODEL_CONVERTERS = {
     "MMF_REGIONAL_M4C": convert_mmf_regional_m4c,
     "MMF_IterativeM4C": convert_mmf_iterative_m4c,
     "MMF_Iterative_Multilevel_M4C": convert_mmf_iterative_m4c,
+    "MMF_LanguageAdaptiveM4C": convert_mmf_language_adaptive,
     # Documented hard-unsupported (VERDICT r1 item 7): these reference
     # checkpoints describe DIFFERENT architectures than the ones this
     # framework runs under the same registry names, so a weight mapping

@@ -113,8 +113,9 @@ VARIANTS = [
     ("experimental_MMF_M4C", {}, True),
     (
         "MMF_LanguageAdaptiveM4C",
-        {"LANGUAGES": ("vi", "en"), "TEXT_BERT": {
-            "HIDDEN_SIZE": H, "NUM_HIDDEN_LAYERS": 1}},
+        {"TEXT_BERT": {
+            "HIDDEN_SIZE": H, "NUM_HIDDEN_LAYERS": 1, "D_LANGUAGE": 16,
+            "PRETRAINED_LAYERS": 1, "PRETRAINED_VOCAB_SIZE": VOCAB}},
         True,
     ),
 ]

@@ -298,3 +298,136 @@ def test_regional_m4c_conversion_structural(refpkg):
     assert np.isfinite(np.asarray(scores)).all()
     out = ours.apply({"params": params}, batch, method="greedy_decode")
     assert out["prev_inds"].shape == (2, MAXA)
+
+
+def test_language_adaptive_text_path_matches_torch():
+    """MMF_LanguageAdaptiveM4C's question path (frozen multilingual
+    backbone -> projection -> trainable fine-tune encoder,
+    mmf_language_adaptive_m4c.py:204-251) reproduces the torch composition
+    under converted weights."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    import jax
+    import jax.numpy as jnp
+
+    from openvivqa_tpu.builders import META_ARCHITECTURE, populate
+    from openvivqa_tpu.config import ConfigNode
+    from openvivqa_tpu.models.modules.hf_conversion import (
+        convert_roberta_weights,
+    )
+    from openvivqa_tpu.models.modules.torch_conversion import (
+        StateDict,
+        hf_bert_encoder,
+        linear,
+    )
+
+    populate()
+    D_LANG, HID, HEADS = 32, 24, 2
+
+    class Vocab:
+        padding_idx, bos_idx, eos_idx, unk_idx = 0, 1, 2, 3
+        max_answer_length = 5
+
+        def __len__(self):
+            return 30
+
+    cfg = ConfigNode(
+        {
+            "ARCHITECTURE": "MMF_LanguageAdaptiveM4C", "D_MODEL": HID,
+            "MMT": {"HIDDEN_SIZE": HID, "NUM_HIDDEN_LAYERS": 1,
+                    "NUM_ATTENTION_HEADS": HEADS},
+            "TEXT_BERT": {
+                "HIDDEN_SIZE": HID, "NUM_HIDDEN_LAYERS": 2,
+                "D_LANGUAGE": D_LANG, "PRETRAINED_LAYERS": 2,
+                "PRETRAINED_VOCAB_SIZE": 120, "PRETRAINED_PAD_ID": 1,
+                "PRETRAINED_NAME": "vinai/phobert-base",
+                "INTERMEDIATE_SIZE": 48,
+                "PRETRAINED_INTERMEDIATE_SIZE": 64, "PRETRAINED_HEADS": 2,
+            },
+            "OBJECT_EMBEDDING": {"D_FEATURE": 8, "DROPOUT": 0.0},
+            "OCR_EMBEDDING": {"D_FEATURE": 12, "DROPOUT": 0.0},
+            "OCR_PTR_NET": {"HIDDEN_SIZE": HID, "QUERY_KEY_SIZE": HID},
+        }
+    )
+    model = META_ARCHITECTURE.get("MMF_LanguageAdaptiveM4C")(cfg, Vocab())
+
+    # torch composition mirroring the reference layout
+    torch.manual_seed(21)
+    rob_cfg = transformers.RobertaConfig(
+        vocab_size=120, hidden_size=D_LANG, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=42, type_vocab_size=1, pad_token_id=1,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    backbone = transformers.RobertaModel(rob_cfg, add_pooling_layer=False)
+    backbone.eval()
+    proj = torch.nn.Linear(D_LANG, HID)
+    fine_cfg = transformers.BertConfig(
+        hidden_size=HID, num_hidden_layers=2, num_attention_heads=HEADS,
+        intermediate_size=48, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    from transformers.models.bert.modeling_bert import BertEncoder
+
+    fine_cfg._attn_implementation = "eager"  # standalone BertEncoder build
+    fine = BertEncoder(fine_cfg)
+    fine.eval()
+
+    rng = np.random.default_rng(21)
+    tokens = rng.integers(4, 120, size=(2, 7)).astype(np.int64)
+    tokens[0, -2:] = 1  # roberta pad id
+    attn = (tokens != 1).astype(np.float32)
+    with torch.no_grad():
+        hidden = backbone(
+            input_ids=torch.tensor(tokens),
+            attention_mask=torch.tensor(attn),
+        ).last_hidden_state
+        hidden = proj(hidden)
+        ext = (1.0 - torch.tensor(attn)[:, None, None, :]) * -10e4
+        want = fine(hidden, attention_mask=ext).last_hidden_state.numpy()
+
+    # convert via the migration-tool building blocks
+    converted = convert_roberta_weights(backbone.state_dict(), 2)
+    sd = StateDict(
+        {
+            **{f"text_bert.text_bert_out_linear.{k}": v
+               for k, v in proj.state_dict().items()},
+            **{f"text_bert.encoder.{k}": v for k, v in fine.state_dict().items()},
+        }
+    )
+
+    batch = {
+        "question_backbone_tokens": jnp.asarray(tokens.astype(np.int32)),
+        "question_tokens": jnp.asarray(tokens.astype(np.int32)),
+        "region_features": jnp.zeros((2, 3, 8), jnp.float32),
+        "region_boxes": jnp.zeros((2, 3, 4), jnp.float32),
+        "ocr_fasttext_features": jnp.zeros((2, 2, 4), jnp.float32),
+        "ocr_rec_features": jnp.zeros((2, 2, 4), jnp.float32),
+        "ocr_det_features": jnp.zeros((2, 2, 4), jnp.float32),
+        "ocr_boxes": jnp.zeros((2, 2, 4), jnp.float32),
+        "answer_tokens": jnp.ones((2, 5), jnp.int32),
+    }
+    variables = jax.jit(
+        lambda r, b: model.init({"params": r, "dropout": r}, b, train=False)
+    )(jax.random.PRNGKey(0), batch)
+    from openvivqa_tpu.models.modules.hf_conversion import graft_with_padding
+
+    params = dict(variables["params"])
+    params["language_embeddings"] = graft_with_padding(
+        params["language_embeddings"], converted["embeddings"]
+    )
+    params["language_backbone"] = converted["encoder"]
+    params["language_proj"] = linear(sd, "text_bert.text_bert_out_linear")
+    params["finetune_encoder"] = hf_bert_encoder(sd, "text_bert.encoder", 2)
+
+    got, _ = model.apply(
+        {"params": params}, batch, False, method=model._txt
+    )
+    valid = attn.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(got)[valid], want[valid], atol=5e-5
+    )

@@ -166,6 +166,9 @@ def _mmf_config(**over):
         "MMT": {"HIDDEN_SIZE": D, "NUM_HIDDEN_LAYERS": 2, "NUM_ATTENTION_HEADS": 2},
         "TEXT_BERT": {
             "HIDDEN_SIZE": D, "NUM_HIDDEN_LAYERS": 1, "LOAD_PRETRAINED": False,
+            # LanguageAdaptive's frozen backbone dims (ignored by others)
+            "D_LANGUAGE": 16, "PRETRAINED_LAYERS": 1,
+            "PRETRAINED_VOCAB_SIZE": 64,
         },
         "OBJECT_EMBEDDING": {"D_FEATURE": 24, "DROPOUT": 0.1},
         "OCR_EMBEDDING": {"D_FEATURE": 300 + 256 + 16, "DROPOUT": 0.1},
