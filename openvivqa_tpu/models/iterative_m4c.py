@@ -56,6 +56,18 @@ class DynamicPointerNetwork(nn.Module):
         return scores.transpose(0, 2, 1)  # (bs, L_ans, K)
 
 
+class _ArrayCache(nn.Module):
+    """One 'cache'-collection buffer created lazily from a template (flax
+    cache variables must live in compact submodules, cf. _TokenBuffer)."""
+
+    @nn.compact
+    def __call__(self, init_like: jnp.ndarray, new_value=None) -> jnp.ndarray:
+        var = self.variable("cache", "buf", lambda: jnp.zeros_like(init_like))
+        if new_value is not None:
+            var.value = new_value
+        return var.value
+
+
 @META_ARCHITECTURE.register()
 class IterativeM4C(GenerativeModel):
     config: Any
@@ -64,6 +76,22 @@ class IterativeM4C(GenerativeModel):
     def setup(self):
         c = self.config
         self.d_model = c.D_MODEL
+        # DECODING_MODE "incremental" (TPU-native fast path, mirrors the
+        # MMF family): encode the joint prefix once, cache each encoder
+        # layer's inputs, and decode one token per step against them.
+        # Exact under CONTEXT_BLIND masking (joint rows never attend the
+        # generated prefix); the default reproduces the reference
+        # semantics where they do (iterative_m4c.py:237-270).
+        self.decoding_mode = c.get("DECODING_MODE")
+        if self.decoding_mode not in (None, "incremental"):
+            raise ValueError(
+                f"MODEL.DECODING_MODE must be 'incremental' or unset, got "
+                f"{self.decoding_mode!r}"
+            )
+        self.context_blind = bool(
+            c.get("CONTEXT_BLIND") or self.decoding_mode == "incremental"
+        )
+        self.answer_cache = _ArrayCache()
         self.region_embedding = build_vision_embedding(c.REGION_EMBEDDING)
         self.grid_embedding = build_vision_embedding(c.GRID_EMBEDDING)
         self.box_embedding = build_vision_embedding(c.BOX_EMBEDDING)
@@ -138,6 +166,16 @@ class IterativeM4C(GenerativeModel):
             "ocr_bias": joint_bias[..., ocr_start:ocr_end],
             "ocr_start": jnp.full((joint.shape[0],), ocr_start, jnp.int32),
         }
+        if self.decoding_mode == "incremental":
+            # context-blind: the joint prefix never attends the answer, so
+            # its per-layer inputs and OCR outputs are decode-invariant —
+            # encode once here.  'enc_kv' naming skips the per-step beam
+            # gather (training/decode._gather_beams: beam-invariant rows).
+            ctx_out, layer_inputs = self.encoder(
+                joint, joint_bias, train=False, return_layer_inputs=True
+            )
+            state["enc_kv_ctx_inputs"] = tuple(layer_inputs)
+            state["enc_kv_ocr_out"] = ctx_out[:, ocr_start:ocr_end]
         return state, joint_bias
 
     def _answer_features(self, tokens, embedded_ocr, train: bool):
@@ -169,6 +207,8 @@ class IterativeM4C(GenerativeModel):
 
         features = jnp.concatenate([joint, answer_features], axis=1)
         bias = prefix_lm_bias(joint_bias, answer_pad, answer_block)
+        if self.context_blind:
+            bias = bias.at[:, :, :joint_len, joint_len:].set(MASK_VALUE)
         encoded = self.encoder(features, bias, train=train)
 
         answer_out = encoded[:, joint_len:]
@@ -176,6 +216,10 @@ class IterativeM4C(GenerativeModel):
         return self._output(answer_out, ocr_out, ocr_bias)
 
     def decode_step(self, token, encoder_state, encoder_attention_bias):
+        if self.decoding_mode == "incremental":
+            return self._incremental_decode_step(
+                token, encoder_state, encoder_attention_bias
+            )
         joint = encoder_state["joint"]
         embedded_ocr = encoder_state["ocr"]
         ocr_bias = encoder_state["ocr_bias"]
@@ -196,6 +240,8 @@ class IterativeM4C(GenerativeModel):
 
         features = jnp.concatenate([joint, answer_features], axis=1)
         bias = prefix_lm_bias(encoder_attention_bias, answer_col, answer_block)
+        if self.context_blind:
+            bias = bias.at[:, :, :joint_len, joint_len:].set(MASK_VALUE)
         encoded = self.encoder(features, bias)
 
         answer_out = jax.lax.dynamic_slice_in_dim(
@@ -203,3 +249,39 @@ class IterativeM4C(GenerativeModel):
         )
         ocr_out = jax.lax.dynamic_slice_in_dim(encoded, ocr_start, ocr_len, axis=1)
         return self._output(answer_out, ocr_out, ocr_bias)
+
+    def _incremental_decode_step(self, token, encoder_state, encoder_attention_bias):
+        """One-token step against the cached joint prefix: O(C + T) keys
+        per step instead of re-encoding the (C + T)-token stream.  Exact
+        vs the quadratic step under CONTEXT_BLIND (tested in
+        tests/test_incremental_m4c.py)."""
+        embedded_ocr = encoder_state["ocr"]
+        ocr_bias = encoder_state["ocr_bias"]
+        ctx_inputs = list(encoder_state["enc_kv_ctx_inputs"])
+        ocr_out = encoder_state["enc_kv_ocr_out"]
+        joint_len = ctx_inputs[0].shape[1]
+        bs = token.shape[0]
+
+        buffer, i = self.token_buffer(token)
+        max_len = buffer.shape[1]
+
+        token_features, _ = self._answer_features(token, embedded_ocr, False)
+        position = jnp.full((bs, 1), joint_len + 1, jnp.float32) + i
+
+        slots = jnp.where(jnp.arange(max_len) <= i, 0.0, MASK_VALUE)
+        slot_bias = jnp.broadcast_to(
+            slots[None, None, None, :], (bs, 1, 1, max_len)
+        )
+        bias = jnp.concatenate([encoder_attention_bias, slot_bias], axis=-1)
+
+        d = token_features.shape[-1]
+        template = jnp.zeros(
+            (bs, len(ctx_inputs), max_len, d), token_features.dtype
+        )
+        bank = self.answer_cache(template)
+        caches = [bank[:, layer] for layer in range(len(ctx_inputs))]
+        out, new_caches = self.encoder.decode_step(
+            token_features, position, ctx_inputs, caches, i, bias
+        )
+        self.answer_cache(template, jnp.stack(new_caches, axis=1))
+        return self._output(out, ocr_out, ocr_bias)

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -128,14 +129,55 @@ class Encoder(nn.Module):
             for i in range(self.config.LAYERS)
         ]
 
-    def __call__(self, features: jnp.ndarray, padding_bias, train=False, **kwargs):
+    def __call__(
+        self,
+        features: jnp.ndarray,
+        padding_bias,
+        train=False,
+        return_layer_inputs=False,
+        **kwargs,
+    ):
         out = self.layer_norm(features) + self.pos_embedding(features)
+        layer_inputs = []
         for layer in self.layers:
+            layer_inputs.append(out)
             out = layer(
                 queries=out, keys=out, values=out,
                 attention_bias=padding_bias, train=train, **kwargs,
             )
+        if return_layer_inputs:
+            # the K/V sources an incremental decoder caches alongside its
+            # own prefix (cf. m4c_common.MMT.encode_context)
+            return out, layer_inputs
         return out
+
+    def decode_step(
+        self,
+        token_features: jnp.ndarray,  # (bs, 1, d) pre-prologue embedding
+        position: jnp.ndarray,  # (bs, 1) 1-based absolute position value
+        context_inputs,  # per-layer (bs, C, d) frozen context inputs
+        caches,  # per-layer (bs, T, d) decoded-prefix inputs
+        step: jnp.ndarray,  # scalar int: slot to write
+        attention_bias: jnp.ndarray,  # (bs, 1, 1, C+T) over [context, slots]
+    ):
+        """One new token through all layers against cached context +
+        decoded-prefix keys (the single-stream analogue of
+        BertEncoderStack's decode mode).  Returns (out (bs,1,d),
+        new_caches)."""
+        x = self.layer_norm(token_features) + self.pos_embedding.encode_positions(
+            position
+        )
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            cache = jax.lax.dynamic_update_slice_in_dim(
+                caches[i], x, step, axis=1
+            )
+            new_caches.append(cache)
+            kv = jnp.concatenate([context_inputs[i], cache], axis=1)
+            x = layer(
+                queries=x, keys=kv, values=kv, attention_bias=attention_bias
+            )
+        return x, new_caches
 
 
 @META_ENCODER.register()

@@ -38,6 +38,19 @@ class SinusoidPositionalEmbedding(nn.Module):
         pos = jnp.stack([jnp.sin(pos[:, :, 0::2]), jnp.cos(pos[:, :, 1::2])], axis=-1)
         return pos.reshape(bs, length, -1)
 
+    def encode_positions(self, values: jnp.ndarray) -> jnp.ndarray:
+        """Same sinusoid formula for explicit (bs, L) position VALUES
+        (1-based, matching the cumsum above) — used by incremental decode
+        where one token sits at a dynamic absolute position."""
+        bs, length = values.shape
+        dim_t = jnp.arange(self.num_pos_feats, dtype=jnp.float32)
+        dim_t = self.temperature ** (2 * (dim_t // 2) / self.num_pos_feats)
+        pos = values.astype(jnp.float32)[:, :, None] / dim_t
+        pos = jnp.stack(
+            [jnp.sin(pos[:, :, 0::2]), jnp.cos(pos[:, :, 1::2])], axis=-1
+        )
+        return pos.reshape(bs, length, -1)
+
 
 class LearnedPositionalEmbedding(nn.Module):
     """Learned additive positions (pos_embeddings.py:26-38 parity)."""
