@@ -186,7 +186,14 @@ class OpenEndedTask(BaseTask):
         )
         self.log_metrics(
             {"phase": "train", "loss": mean_loss, "iterations": count,
-             "seconds": elapsed, **timer.summary()}
+             "seconds": elapsed,
+             # epoch wall-clock throughput: the device-time regression
+             # signal (dispatch is async; the epoch-end loss sync bounds
+             # real device time) — compare across runs in metrics.jsonl
+             "samples_per_sec": round(
+                 count * self.train_dataloader.batch_size / max(elapsed, 1e-9), 2
+             ),
+             **timer.summary()}
         )
 
     def _decode_batch(self, outs: np.ndarray, batch=None):
