@@ -41,7 +41,9 @@ class BertSelfAttention(nn.Module):
         vp = nn.Dense(self.hidden_size, kernel_init=_normal)(kv)
 
         from ...ops.fused_attention import (
+            dropout_attention_viable,
             fused_attention_packed,
+            fused_attention_packed_dropout,
             packed_attention_viable,
             should_use_fused,
         )
@@ -49,18 +51,36 @@ class BertSelfAttention(nn.Module):
         # Pallas packed kernel for the long streams (ViT 197 / BERT 256 /
         # MMT 350-640 tokens: measured 1.4-1.8x over XLA on v5e,
         # ops/fused_attention.py) — consumes the raw dense outputs, zero
-        # head-split transposes.  The weights-dropout branch needs the
-        # materialised weights, so the fused path covers eval/decode and
-        # dropout-0 training; per-head biases never reach this module.
-        use_fused = (
-            should_use_fused(qp.shape[1], kp.shape[1], head_dim)
-            and (not train or self.dropout == 0.0)
-            and (attention_bias is None or attention_bias.shape[1] == 1)
-            and packed_attention_viable(
+        # head-split transposes.  Training with attention-weights dropout
+        # uses the in-kernel-PRNG variant (masks regenerated in the Pallas
+        # backward; 1.72x over XLA fwd+bwd at MMT dims); per-head biases
+        # never reach this module.
+        wants_dropout = train and self.dropout > 0.0
+        shape_ok = should_use_fused(
+            qp.shape[1], kp.shape[1], head_dim
+        ) and (attention_bias is None or attention_bias.shape[1] == 1)
+        if wants_dropout:
+            use_fused = (
+                shape_ok
+                and self.has_rng("dropout")
+                and dropout_attention_viable(
+                    qp.shape[1], kp.shape[1], self.hidden_size, self.num_heads
+                )
+            )
+        else:
+            use_fused = shape_ok and packed_attention_viable(
                 qp.shape[1], kp.shape[1], self.hidden_size, self.num_heads
             )
-        )
-        if use_fused:
+        if use_fused and wants_dropout:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32,
+            )
+            context = fused_attention_packed_dropout(
+                qp, kp, vp, attention_bias, seed,
+                1.0 / float(head_dim) ** 0.5, self.num_heads, self.dropout,
+            )
+        elif use_fused:
             context = fused_attention_packed(
                 qp, kp, vp, attention_bias,
                 1.0 / float(head_dim) ** 0.5, self.num_heads,

@@ -19,6 +19,18 @@ Two kernels, tuned on a real v5e (scripts/bench_attention_shapes.py):
   `should_use_fused` encodes the measured ~192-key crossover; call sites
   consult it by default (OPENVIVQA_FUSED_ATTENTION=0/1 forces off/on).
 
+* `fused_attention_packed_dropout` — the packed kernel with IN-KERNEL
+  attention-weights dropout for training: masks come from the TPU hardware
+  PRNG in fixed 64-row q-tiles seeded by absolute (batch, head, q-tile)
+  coordinates, so the Pallas backward regenerates bit-identical masks from
+  the same seed under a DIFFERENT q-block partition (fwd blocks large, bwd
+  blocks small + bf16 inputs to fit the scoped-vmem stack).  No
+  (b, h, q, k) mask tensor ever touches HBM.  Measured on v5e at the MMT
+  train shape (b32 h8 512 keys d96, rate 0.1): 1.82x over the XLA
+  dropout-attention fwd+bwd, 1.46x on the full 4-layer MMT train step.
+  Gradient correctness: directional finite differences on hardware
+  (scripts/validate_dropout_kernel.py; CPU interpret mode stubs the PRNG).
+
 * `fused_attention` — (b, h, S, d) layout compatibility wrapper: grid over
   the flattened batch*head dim, whole sequence per cell.  Useful when the
   caller already holds split-head tensors; slower than packed because the
@@ -293,6 +305,358 @@ def _packed_bwd(scale, num_heads, residuals, g):
 
 
 fused_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# packed kernel with in-kernel attention-weights dropout (training path)
+# ---------------------------------------------------------------------------
+# The dropout mask is generated with the TPU PRNG from a per-(batch,
+# q-block) seed, heads drawn sequentially — the backward kernel reseeds the
+# same way and regenerates bit-identical masks, so no (b, h, q, k) mask
+# tensor ever touches HBM.  Forward and backward MUST share the q-block
+# plan (a different partition would change the random streams), so the
+# dropout plan uses the backward pass's tighter VMEM budget.
+
+def _dropout_threshold(rate: float) -> int:
+    # drop when (bits >> 9) < rate * 2^23 — the shift keeps the compare in
+    # non-negative int32 territory (uint32 comparisons are not reliably
+    # unsigned through every lowering)
+    return min(int(rate * (1 << 23)), (1 << 23) - 1)
+
+
+_MASK_TILE = 64  # fixed q-tile for mask generation (partition-independent)
+
+
+def _dropout_keep(seed_ref, qblk, sk, head, n_heads, sq, threshold):
+    """(qblk, sk) keep mask for the current grid cell at `head`.
+
+    Bits are generated in fixed _MASK_TILE-row tiles, each re-seeded from
+    the tile's ABSOLUTE (batch, head, q-tile) coordinates — the mask is
+    identical under any q-block partition whose block is a multiple of
+    _MASK_TILE, letting forward and backward pick different block sizes
+    while regenerating bit-identical masks."""
+    if sq <= _MASK_TILE:  # single block: partition-independence is trivial
+        base = seed_ref[0] + pl.program_id(0) * n_heads + head
+        pltpu.prng_seed(base)
+        bits = jax.lax.shift_right_logical(
+            pltpu.bitcast(pltpu.prng_random_bits((qblk, sk)), jnp.int32), 9
+        )
+        return bits >= threshold
+    n_q_tiles = sq // _MASK_TILE
+    base = seed_ref[0] + (
+        (pl.program_id(0) * n_heads + head) * n_q_tiles
+    )
+    first_tile = pl.program_id(1) * (qblk // _MASK_TILE)
+    rows = []
+    for t in range(qblk // _MASK_TILE):
+        pltpu.prng_seed(base + first_tile + t)
+        bits = jax.lax.shift_right_logical(
+            pltpu.bitcast(
+                pltpu.prng_random_bits((_MASK_TILE, sk)), jnp.int32
+            ),
+            9,
+        )
+        rows.append(bits >= threshold)
+    return jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+
+
+def _packed_dropout_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, h, d, rate, sq
+):
+    threshold = _dropout_threshold(rate)
+    keep_scale = 1.0 / (1.0 - rate)
+    bias = bias_ref[0].astype(jnp.float32)
+    for i in range(h):
+        q = q_ref[0, :, i * d:(i + 1) * d].astype(jnp.bfloat16)
+        k = k_ref[0, :, i * d:(i + 1) * d].astype(jnp.bfloat16)
+        v = v_ref[0, :, i * d:(i + 1) * d].astype(jnp.bfloat16)
+        logits = (
+            jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + bias
+        )
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        unnormalised = jnp.exp(logits - row_max)
+        weights = unnormalised / jnp.sum(unnormalised, axis=-1, keepdims=True)
+        keep = _dropout_keep(
+            seed_ref, weights.shape[0], weights.shape[1], i, h, sq, threshold
+        )
+        weights = jnp.where(keep, weights * keep_scale, 0.0).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            weights, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, i * d:(i + 1) * d] = out.astype(out_ref.dtype)
+
+
+def _packed_dropout_bwd_kernel(
+    seed_ref, q_ref, k_ref, v_ref, bias_ref, g_ref,
+    dq_ref, dk_ref, dv_ref, *, scale, h, d, rate, sq
+):
+    """Recomputes softmax + the SAME dropout mask; emits dq for this
+    q-block and accumulates dk/dv across q-blocks (their output blocks
+    revisit the same index, zero-initialised at the first q-block)."""
+    threshold = _dropout_threshold(rate)
+    keep_scale = 1.0 / (1.0 - rate)
+    bias = bias_ref[0].astype(jnp.float32)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _zero_init():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+
+    for i in range(h):
+        # inputs arrive pre-cast to bf16 (halves the resident buffers ->
+        # a 2x larger q-block fits the scoped-vmem stack)
+        q = q_ref[0, :, i * d:(i + 1) * d]
+        k = k_ref[0, :, i * d:(i + 1) * d]
+        v = v_ref[0, :, i * d:(i + 1) * d]
+        g = g_ref[0, :, i * d:(i + 1) * d]
+        logits = (
+            jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + bias
+        )
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        unnormalised = jnp.exp(logits - row_max)
+        weights = unnormalised / jnp.sum(unnormalised, axis=-1, keepdims=True)
+        keep = _dropout_keep(
+            seed_ref, weights.shape[0], weights.shape[1], i, h, sq, threshold
+        ).astype(jnp.float32) * keep_scale
+        dropped = (weights * keep).astype(jnp.bfloat16)
+
+        # dv += dropped^T g
+        dv = jax.lax.dot_general(
+            dropped, g,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dv_ref[0, :, i * d:(i + 1) * d] += dv.astype(dv_ref.dtype)
+
+        # dw (w.r.t. pre-dropout weights) = (g v^T) * keep
+        dw = (
+            jax.lax.dot_general(
+                g, v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * keep
+        )
+        dlogits = weights * (dw - jnp.sum(dw * weights, axis=-1, keepdims=True))
+        dlogits_bf = dlogits.astype(jnp.bfloat16)
+
+        dq = jax.lax.dot_general(
+            dlogits_bf, k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dq_ref[0, :, i * d:(i + 1) * d] = dq.astype(dq_ref.dtype)
+
+        dk = jax.lax.dot_general(
+            dlogits_bf, q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk_ref[0, :, i * d:(i + 1) * d] += dk.astype(dk_ref.dtype)
+
+
+def _mask_tile_candidates(sq: int):
+    # dropout masks are generated in fixed _MASK_TILE-row tiles, so any
+    # q-block must be a multiple of _MASK_TILE (and sq itself tiled)
+    if sq <= _MASK_TILE:
+        return [sq]
+    if sq % _MASK_TILE:
+        return []
+    return [sq] + [
+        b for b in (512, 384, 256, 128, 64) if b % _MASK_TILE == 0 and sq % b == 0
+    ]
+
+
+def plan_dropout_fwd_q_block(sq: int, sk: int, hd: int) -> Optional[int]:
+    """Forward q-block: same budget shape as the plain kernel, restricted
+    to mask-tile multiples (fwd and bwd may differ — the mask generation is
+    partition-independent)."""
+    for qblk in _mask_tile_candidates(sq):
+        kv_bytes = 2 * sk * hd * 4 * 2
+        q_bytes = 2 * qblk * hd * 4 * 2
+        bias_bytes = qblk * sk * 4 * 2
+        logits_bytes = 2 * qblk * sk * 4
+        if kv_bytes + q_bytes + bias_bytes + logits_bytes <= _VMEM_BUDGET:
+            return qblk
+    return None
+
+
+def plan_dropout_q_block(sq: int, sk: int, hd: int) -> Optional[int]:
+    """Backward q-block: q/g/dq blocks + k/v/dk/dv full rows + f32
+    scratch for logits/weights/dw; tighter budget than the forward — the
+    backward's scoped-vmem stack (measured on v5e) has less headroom."""
+    for qblk in _mask_tile_candidates(sq):
+        # k/v (bf16) in + dk/dv (f32) out revisit the same block index, so
+        # Mosaic keeps ONE resident buffer each
+        kv_bytes = 2 * sk * hd * 2 + 2 * sk * hd * 4
+        # q, g in (bf16, double-buffered) + dq out (f32, double-buffered)
+        q_bytes = 2 * qblk * hd * 2 * 2 + qblk * hd * 4 * 2
+        bias_bytes = qblk * sk * 4 * 2
+        scratch = 4 * qblk * sk * 4  # logits/weights/keep/dw f32 temporaries
+        if kv_bytes + q_bytes + bias_bytes + scratch <= 9 * 1024 * 1024:
+            return qblk
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "num_heads", "rate", "q_block")
+)
+def _packed_dropout_fwd_call(
+    seed, q, k, v, biasf, scale, num_heads, rate, q_block
+):
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // num_heads
+    bq = biasf.shape[1]
+    bias_qblk = q_block if bq > 1 else 1
+    nq = sq // q_block
+
+    return pl.pallas_call(
+        functools.partial(
+            _packed_dropout_kernel,
+            scale=scale, h=num_heads, d=d, rate=rate, sq=sq,
+        ),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, q_block, hd), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bias_qblk, sk),
+                (lambda bi, qi: (bi, qi, 0))
+                if bias_qblk > 1
+                else (lambda bi, qi: (bi, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, hd), lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+    )(seed, q, k, v, biasf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "num_heads", "rate", "q_block")
+)
+def _packed_dropout_bwd_call(
+    seed, q, k, v, biasf, g, scale, num_heads, rate, q_block
+):
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // num_heads
+    bq = biasf.shape[1]
+    bias_qblk = q_block if bq > 1 else 1
+    nq = sq // q_block
+
+    qblock_spec = pl.BlockSpec(
+        (1, q_block, hd), lambda bi, qi: (bi, qi, 0), memory_space=pltpu.VMEM
+    )
+    full_spec = pl.BlockSpec(
+        (1, sk, hd), lambda bi, qi: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(
+            _packed_dropout_bwd_kernel,
+            scale=scale, h=num_heads, d=d, rate=rate, sq=sq,
+        ),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            qblock_spec, full_spec, full_spec,
+            pl.BlockSpec(
+                (1, bias_qblk, sk),
+                (lambda bi, qi: (bi, qi, 0))
+                if bias_qblk > 1
+                else (lambda bi, qi: (bi, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            qblock_spec,
+        ],
+        out_specs=[qblock_spec, full_spec, full_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, sq, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, sk, hd), jnp.float32),
+            jax.ShapeDtypeStruct((b, sk, hd), jnp.float32),
+        ],
+    )(seed, q, k, v, biasf, g)
+
+
+def dropout_attention_viable(sq: int, sk: int, hd: int, num_heads: int) -> bool:
+    return (
+        hd % num_heads == 0
+        and plan_dropout_fwd_q_block(sq, sk, hd) is not None
+        and plan_dropout_q_block(sq, sk, hd) is not None
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def fused_attention_packed_dropout(
+    q, k, v, bias, seed, scale: float, num_heads: int, rate: float
+):
+    """Packed attention with in-kernel attention-weights dropout.
+
+    seed: (1,) int32 (derive from the flax 'dropout' RNG per call).  The
+    dropout pattern differs from the XLA path's jax.random draws (TPU
+    hardware PRNG) — statistically equivalent, deterministic per seed.
+    bias is treated as non-differentiable (all framework biases are mask
+    constants)."""
+    biasf, _ = _normalise_bias_packed(bias, q.shape[0], q.shape[1], k.shape[1])
+    if biasf.shape[0] == 1 and q.shape[0] > 1:
+        biasf = jnp.broadcast_to(biasf, (q.shape[0],) + biasf.shape[1:])
+    q_block = plan_dropout_fwd_q_block(q.shape[1], k.shape[1], q.shape[2])
+    return _packed_dropout_fwd_call(
+        seed, q, k, v, biasf, scale, num_heads, rate, q_block
+    )
+
+
+def _packed_dropout_fwd(q, k, v, bias, seed, scale, num_heads, rate):
+    out = fused_attention_packed_dropout(
+        q, k, v, bias, seed, scale, num_heads, rate
+    )
+    return out, (q, k, v, bias, seed)
+
+
+def _packed_dropout_bwd(scale, num_heads, rate, residuals, g):
+    import numpy as np
+
+    q, k, v, bias, seed = residuals
+    biasf, _ = _normalise_bias_packed(bias, q.shape[0], q.shape[1], k.shape[1])
+    if biasf.shape[0] == 1 and q.shape[0] > 1:
+        biasf = jnp.broadcast_to(biasf, (q.shape[0],) + biasf.shape[1:])
+    q_block = plan_dropout_q_block(q.shape[1], k.shape[1], q.shape[2])
+    dq, dk, dv = _packed_dropout_bwd_call(
+        seed,
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), biasf, g.astype(jnp.bfloat16),
+        scale, num_heads, rate, q_block,
+    )
+    dq = dq.astype(q.dtype)
+    dk = dk.astype(k.dtype)
+    dv = dv.astype(v.dtype)
+    dbias = jnp.zeros_like(bias) if bias is not None else None
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return (dq, dk, dv, dbias, dseed)
+
+
+fused_attention_packed_dropout.defvjp(_packed_dropout_fwd, _packed_dropout_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -215,3 +215,43 @@ def test_packed_attention_gradients():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(w), atol=2e-2, rtol=2e-2
         )
+
+
+def test_packed_dropout_rate0_matches_packed():
+    """The dropout kernel at rate 0 is the plain packed kernel (interpret
+    mode stubs the TPU PRNG with zeros, so only the rate-0 path is testable
+    off-chip; the full dropout numerics run on hardware via
+    scripts/validate_dropout_kernel.py)."""
+    from openvivqa_tpu.ops.fused_attention import (
+        fused_attention_packed,
+        fused_attention_packed_dropout,
+    )
+
+    b, h, sq, sk, d = 2, 2, 16, 16, 8
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    bias = jnp.asarray(
+        (rng.random((b, 1, 1, sk)) < 0.2).astype(np.float32) * MASK_VALUE
+    )
+    seed = jnp.asarray([7], jnp.int32)
+    scale = 1.0 / np.sqrt(d)
+    with pltpu.force_tpu_interpret_mode():
+        want = fused_attention_packed(q, k, v, bias, scale, h)
+        got = fused_attention_packed_dropout(q, k, v, bias, seed, scale, h, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_dropout_plan_shares_fwd_bwd_partition():
+    from openvivqa_tpu.ops.fused_attention import (
+        dropout_attention_viable,
+        plan_dropout_q_block,
+    )
+
+    # the partition defines the PRNG streams, so one plan serves both
+    # passes; MMT production shapes must stay viable
+    assert plan_dropout_q_block(512, 512, 768) is not None
+    assert plan_dropout_q_block(384, 384, 768) is not None
+    assert dropout_attention_viable(512, 512, 768, 8)
+    assert not dropout_attention_viable(4096, 4096, 768, 8)
