@@ -68,7 +68,10 @@ class HostTokenizer:
 
 def backbone_token_table(config, annotations) -> dict:
     """Pre-tokenise every unique raw question of a split; returns
-    {raw_question: (L,) int32 ids} or None when HF_TOKENIZER is unset."""
+    {raw_question: ((L,) int32 ids, (L,) float32 validity mask)} or None
+    when HF_TOKENIZER is unset.  The mask carries the tokenizer's real
+    pad id (RoBERTa-family tokenizers pad with 1, not 0), so models never
+    have to guess a padding index for the backbone id space."""
     name = config.get("HF_TOKENIZER")
     if not name:
         return None
@@ -79,8 +82,11 @@ def backbone_token_table(config, annotations) -> dict:
     if not uniques:
         return {}
     ids = tokenizer.encode_all(uniques)
+    masks = (ids != tokenizer.pad_id).astype(np.float32)
     logger.info(
         "HF-tokenised %d unique questions with %s (max len %d, pad id %d)",
         len(uniques), name, ids.shape[1], tokenizer.pad_id,
     )
-    return {question: ids[i] for i, question in enumerate(uniques)}
+    return {
+        question: (ids[i], masks[i]) for i, question in enumerate(uniques)
+    }

@@ -209,7 +209,9 @@ class _RawQuestionItemMixin:
         }
         table = self._backbone_table()
         if table is not None:
-            payload["question_backbone_tokens"] = table[item["raw_question"]]
+            ids, mask = table[item["raw_question"]]
+            payload["question_backbone_tokens"] = ids
+            payload["question_backbone_mask"] = mask
         return payload
 
 

@@ -161,7 +161,6 @@ class IterativeM4C(GenerativeModel):
         joint, joint_bias = self.embed_features(batch, train=train)
         ocr_start, ocr_end = self._ocr_span(batch)
         state = {
-            "joint": joint,
             "ocr": joint[:, ocr_start:ocr_end],
             "ocr_bias": joint_bias[..., ocr_start:ocr_end],
             "ocr_start": jnp.full((joint.shape[0],), ocr_start, jnp.int32),
@@ -171,11 +170,16 @@ class IterativeM4C(GenerativeModel):
             # its per-layer inputs and OCR outputs are decode-invariant —
             # encode once here.  'enc_kv' naming skips the per-step beam
             # gather (training/decode._gather_beams: beam-invariant rows).
+            # The raw `joint` tensor is NOT carried: the step reads only
+            # the cached per-layer inputs, so shipping it would pay beam
+            # expansion + HBM for nothing.
             ctx_out, layer_inputs = self.encoder(
                 joint, joint_bias, train=False, return_layer_inputs=True
             )
             state["enc_kv_ctx_inputs"] = tuple(layer_inputs)
             state["enc_kv_ocr_out"] = ctx_out[:, ocr_start:ocr_end]
+        else:
+            state["joint"] = joint
         return state, joint_bias
 
     def _answer_features(self, tokens, embedded_ocr, train: bool):

@@ -306,11 +306,18 @@ class MMF_LanguageAdaptiveM4C(MMF_M4C):
     def _txt(self, batch: BatchArrays, train: bool):
         if "question_backbone_tokens" in batch:
             tokens = batch["question_backbone_tokens"]
-            pad_idx = int(self.config.TEXT_BERT.get("PRETRAINED_PAD_ID") or 0)
+            if "question_backbone_mask" in batch:
+                # tokenizer-derived validity mask (real pad id may be 1)
+                mask = batch["question_backbone_mask"]
+                txt_bias = ((1.0 - mask) * MASK_VALUE)[:, None, None, :]
+            else:
+                pad_idx = int(
+                    self.config.TEXT_BERT.get("PRETRAINED_PAD_ID") or 0
+                )
+                txt_bias = padding_bias(tokens, pad_idx)
         else:
             tokens = batch["question_tokens"]
-            pad_idx = self.vocab.padding_idx
-        txt_bias = padding_bias(tokens, pad_idx)
+            txt_bias = padding_bias(tokens, self.vocab.padding_idx)
 
         embedded = self.language_embeddings(tokens, train=False)
         encoded = self.language_backbone(

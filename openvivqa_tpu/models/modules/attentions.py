@@ -79,11 +79,19 @@ class _ProjectionMixin:
         import math
 
         scale = 1.0 / math.sqrt(self.d_k)
-        from ...ops.fused_attention import fused_attention, should_use_fused
+        from ...ops.fused_attention import (
+            flat_attention_viable,
+            fused_attention,
+            should_use_fused,
+        )
 
         # the Pallas kernel wins past the measured key-length crossover
-        # (ops/fused_attention.py) and is exact at default matmul precision
-        if should_use_fused(q.shape[2], k.shape[2], self.d_k):
+        # (ops/fused_attention.py) and is exact at default matmul precision;
+        # the flat variant holds the whole logits tile per cell, so very
+        # long sequences stay on XLA
+        if should_use_fused(
+            q.shape[2], k.shape[2], self.d_k
+        ) and flat_attention_viable(q.shape[2], k.shape[2], self.d_k):
             if attention_bias is not None and attention_bias.ndim != 4:
                 attention_bias = attention_bias.reshape(
                     (1,) * (4 - attention_bias.ndim) + attention_bias.shape

@@ -65,7 +65,11 @@ class _FrozenTextBackboneEmbedding(nn.Module):
 
     @nn.compact
     def __call__(
-        self, tokens: jnp.ndarray, train: bool = False, padding_idx=None
+        self,
+        tokens: jnp.ndarray,
+        train: bool = False,
+        padding_idx=None,
+        padding_mask=None,
     ):
         c = self.config
         hidden = int(c.get("D_PRETRAINED_FEATURE", self.default_hidden))
@@ -76,9 +80,15 @@ class _FrozenTextBackboneEmbedding(nn.Module):
         )
         heads = int(c.get("NUM_ATTENTION_HEADS") or max(1, hidden // 64))
 
-        if padding_idx is None:
-            padding_idx = self.vocab.padding_idx
-        bias = padding_bias(tokens, padding_idx)
+        if padding_mask is not None:
+            # explicit validity mask from the HF tokenizer (its pad id may
+            # collide with real token ids: RoBERTa-family tokenizers pad
+            # with 1, which is a live id in other spaces)
+            bias = ((1.0 - padding_mask) * -10e4)[:, None, None, :]
+        else:
+            if padding_idx is None:
+                padding_idx = self.vocab.padding_idx
+            bias = padding_bias(tokens, padding_idx)
         default_rows = _BERT_FAMILY_VOCABS.get(c.get("PRETRAINED_NAME"), 30522)
         table_rows = max(
             len(self.vocab), int(c.get("PRETRAINED_VOCAB_SIZE") or default_rows)
@@ -214,13 +224,20 @@ class _ProjectedBackboneEmbedding(nn.Module):
 
     @nn.compact
     def __call__(
-        self, tokens: jnp.ndarray, train: bool = False, padding_idx=None
+        self,
+        tokens: jnp.ndarray,
+        train: bool = False,
+        padding_idx=None,
+        padding_mask=None,
     ):
         c = self.config
         spec = resolve_backbone_spec(c, self.family, self.vocab)
-        if padding_idx is None:
-            padding_idx = self.vocab.padding_idx
-        bias = padding_bias(tokens, padding_idx)
+        if padding_mask is not None:
+            bias = ((1.0 - padding_mask) * -10e4)[:, None, None, :]
+        else:
+            if padding_idx is None:
+                padding_idx = self.vocab.padding_idx
+            bias = padding_bias(tokens, padding_idx)
         encoded = self._backbone(spec)(tokens, attention_bias=bias, train=False)
         encoded = jax.lax.stop_gradient(encoded)  # frozen backbone
 

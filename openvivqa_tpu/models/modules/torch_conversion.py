@@ -198,11 +198,12 @@ def convert_text_embedding(sd: StateDict, name: str) -> Dict:
     carrying the summed torch biases)."""
     if f"{name}.components.weight" in sd:
         return {"embedding": sd[f"{name}.components.weight"]}
-    if f"{name}.fc.weight" in sd:  # UsualEmbedding w/ pretrained vectors+fc
-        return {
-            "embedding": sd[f"{name}.components.weight"],
-            "Dense_0": linear(sd, f"{name}.fc"),
-        }
+    if f"{name}.components.1.weight" in sd:
+        # UsualEmbedding with pretrained vectors: nn.Sequential(frozen
+        # Embedding, Linear, Dropout) (text_embeddings.py:66-71).  The
+        # frozen table lives in our 'frozen' collection (seeded from
+        # vocab.word_embeddings), so only the projection converts.
+        return {"Dense_0": linear(sd, f"{name}.components.1")}
     # LSTMTextEmbedding (text_embeddings.py:221-246)
     w_ih = sd[f"{name}.lstm.weight_ih_l0"]
     w_hh = sd[f"{name}.lstm.weight_hh_l0"]
@@ -375,9 +376,19 @@ def convert_mmf_language_adaptive(state_dict: Mapping[str, Any], config) -> Dict
 
     embeddings = {k: dict(v) for k, v in converted["embeddings"].items()}
     vocab_rows = np.asarray(embeddings["Embed_0"]["embedding"]).shape[0]
-    configured = int(config.TEXT_BERT.get("PRETRAINED_VOCAB_SIZE") or 0)
-    if configured:
-        pad_rows(embeddings, "Embed_0", max(configured, vocab_rows))
+    # replicate the model's table-row rule (mmf_variants.py setup):
+    # max(len(vocab), PRETRAINED_VOCAB_SIZE or family default).  The
+    # converter cannot see len(vocab); framework vocabs are far smaller
+    # than any pretrained table, and a mismatch fails loudly at restore.
+    from .pretrained_embeddings import _BERT_FAMILY_VOCABS
+
+    default_rows = _BERT_FAMILY_VOCABS.get(
+        config.TEXT_BERT.get("PRETRAINED_NAME"), 30522
+    )
+    configured = int(
+        config.TEXT_BERT.get("PRETRAINED_VOCAB_SIZE") or default_rows
+    )
+    pad_rows(embeddings, "Embed_0", max(configured, vocab_rows))
     pad_rows(embeddings, "Embed_1", 512)
     pad_rows(embeddings, "Embed_2", 2)
     params["language_embeddings"] = embeddings

@@ -47,12 +47,16 @@ def _vision_input(batch: BatchArrays):
 
 def _question_input(batch: BatchArrays, text_config):
     """Prefer real HF backbone ids (datasets configured with HF_TOKENIZER
-    emit `question_backbone_tokens`; text_embeddings.py:329-330 parity) over
-    framework-vocab ids; the pad id follows the id space."""
+    emit `question_backbone_tokens` + `question_backbone_mask`;
+    text_embeddings.py:329-330 parity) over framework-vocab ids.  Returns
+    (tokens, padding_idx_or_None, padding_mask_or_None) — the mask carries
+    the tokenizer's REAL pad id (RoBERTa-family tokenizers pad with 1), so
+    it always wins over the PRETRAINED_PAD_ID fallback."""
     if "question_backbone_tokens" in batch:
+        mask = batch.get("question_backbone_mask")
         pad = int(text_config.get("PRETRAINED_PAD_ID") or 0)
-        return batch["question_backbone_tokens"], pad
-    return batch["question_tokens"], None
+        return batch["question_backbone_tokens"], pad, mask
+    return batch["question_tokens"], None, None
 
 
 @META_ARCHITECTURE.register()
@@ -66,9 +70,9 @@ class ViTmBERTClassification(ClassificationModel):
         vision_features, _ = build_vision_embedding(c.VISION_EMBEDDING)(
             _vision_input(batch), train=train
         )
-        tokens, pad = _question_input(batch, c.TEXT_EMBEDDING)
+        tokens, pad, mask = _question_input(batch, c.TEXT_EMBEDDING)
         text_features, _ = build_text_embedding(c.TEXT_EMBEDDING, self.vocab)(
-            tokens, train=train, padding_idx=pad
+            tokens, train=train, padding_idx=pad, padding_mask=mask
         )
         fused = jnp.concatenate([vision_features, text_features], axis=1)
         fused = nn.Dropout(rate=c.DROPOUT)(
@@ -106,8 +110,10 @@ class ViTmBERTGeneration(GenerativeModel):
         return fused, bias
 
     def _text(self, batch, train):
-        tokens, pad = _question_input(batch, self.config.TEXT_EMBEDDING)
-        result = self.text_embedding(tokens, train=train, padding_idx=pad)
+        tokens, pad, mask = _question_input(batch, self.config.TEXT_EMBEDDING)
+        result = self.text_embedding(
+            tokens, train=train, padding_idx=pad, padding_mask=mask
+        )
         features, masks = result
         bias = masks[0] if isinstance(masks, tuple) else masks
         return features, bias

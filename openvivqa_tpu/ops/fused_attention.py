@@ -101,6 +101,13 @@ def plan_q_block(sq: int, sk: int, hd: int, full_bias: bool) -> Optional[int]:
     return None
 
 
+def flat_attention_viable(sq: int, sk: int, d: int) -> bool:
+    """The (b*h,) flat kernel holds the whole (Sq, Sk) logits tile plus
+    three (S, d) operands in one grid cell — guard the per-cell VMEM."""
+    cell = (sq * sk * 4) * 2 + (sq + 2 * sk) * d * 4 * 2 + sq * d * 4
+    return cell <= 8 * 1024 * 1024
+
+
 def fused_attention_wins(sq: int, sk: int, d: int) -> bool:
     """Measured decision rule: the kernel beats XLA once the key length
     clears the crossover."""
@@ -297,9 +304,9 @@ def _packed_bwd(scale, num_heads, residuals, g):
                 dbias = jnp.sum(dbias, axis=axis, keepdims=True)
         dbias = dbias.astype(bias.dtype)
     return (
-        dq.reshape(b, sq, hd),
-        dk.reshape(b, sk, hd),
-        dv.reshape(b, sk, hd),
+        dq.reshape(b, sq, hd).astype(q.dtype),
+        dk.reshape(b, sk, hd).astype(k.dtype),
+        dv.reshape(b, sk, hd).astype(v.dtype),
         dbias,
     )
 
@@ -797,7 +804,9 @@ def _bwd(scale, residuals, g):
             if bdim == 1 and ldim != 1:
                 dbias = jnp.sum(dbias, axis=axis, keepdims=True)
         dbias = dbias.astype(bias.dtype)
-    return (dq, dk, dv, dbias)
+    return (
+        dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dbias
+    )
 
 
 fused_attention.defvjp(_fwd, _bwd)

@@ -77,10 +77,16 @@ def test_raw_question_dataset_emits_backbone_tokens(
 
     for item in items:
         ids = item["question_backbone_tokens"]
+        mask = item["question_backbone_mask"]
         assert ids.dtype == np.int32
         want = tok(item["question"])["input_ids"]
         np.testing.assert_array_equal(ids[: len(want)], want)
         assert (ids[len(want):] == tok.pad_token_id).all()
+        # validity mask derived from the tokenizer's REAL pad id — models
+        # must use it instead of guessing a pad index (RoBERTa pads with 1)
+        np.testing.assert_array_equal(
+            mask, (ids != tok.pad_token_id).astype(np.float32)
+        )
 
 
 def test_missing_local_tokenizer_hard_fails(synthetic_data):
@@ -182,3 +188,40 @@ def test_backbone_ids_through_converted_bert_match_torch(
     # and the wrapper itself runs end to end on those ids
     out, bias = module.apply({"params": params}, ids, padding_idx=0)
     assert out.shape == (3, ids.shape[1], 16)
+
+
+def test_wrapper_padding_mask_overrides_pad_id():
+    """A RoBERTa-style tokenizer pads with id 1 (a live id in other
+    spaces); the wrapper must honour the explicit validity mask rather
+    than a guessed pad index."""
+    from openvivqa_tpu.builders import build_text_embedding
+    from openvivqa_tpu.config import ConfigNode
+
+    class _Vocab:
+        padding_idx = 0
+
+        def __len__(self):
+            return 20
+
+    cfg = ConfigNode(
+        {
+            "ARCHITECTURE": "BertEmbedding", "D_MODEL": 8, "DROPOUT": 0.0,
+            "D_PRETRAINED_FEATURE": 16, "PRETRAINED_LAYERS": 1,
+            "PRETRAINED_VOCAB_SIZE": 32,
+        }
+    )
+    module = build_text_embedding(cfg, _Vocab())
+    tokens = jnp.asarray([[5, 6, 7, 1, 1]], jnp.int32)  # pads are id 1
+    mask = jnp.asarray([[1.0, 1.0, 1.0, 0.0, 0.0]], jnp.float32)
+    variables = jax.jit(
+        lambda r: module.init(
+            {"params": r, "dropout": r}, tokens, padding_mask=mask
+        )
+    )(jax.random.PRNGKey(0))
+    _, bias = module.apply(variables, tokens, padding_mask=mask)
+    np.testing.assert_array_equal(
+        np.asarray(bias[0, 0, 0]), np.asarray([0.0, 0.0, 0.0, -10e4, -10e4])
+    )
+    # without the mask, pad id 0 would (wrongly) mask nothing here
+    _, bias_guess = module.apply(variables, tokens, padding_idx=0)
+    assert float(np.asarray(bias_guess).min()) == 0.0
