@@ -13,6 +13,8 @@ plus honest-performance extras (VERDICT r1 item 5):
   train_samples_per_sec / vs_baseline_train  — full jitted train step
     (loss + grads + Adam) chained sequentially like a real epoch;
   beam_samples_per_sec — IterativeMCAN beam-3 generative eval;
+  mmt_train_samples_per_sec — 4-layer 768-wide MMT-dims train step with
+    attention dropout 0.1 (exercises the Pallas dropout-attention pair);
   eval_mfu / train_mfu — XLA cost-analysis FLOPs over wall-clock against
     the chip's bf16 peak (TPU matmuls at default precision execute as
     bf16 passes, CLAUDE.md measured facts).
@@ -206,6 +208,61 @@ def main():
     train_sps = batch_size * n_train / train_elapsed
     train_flops = _flops_of(train_compiled) * n_train  # scan body counted once
 
+    # ---- MMT-dims train step (the M4C-family hot stack, dropout 0.1) ------
+    # exercises the Pallas dropout-attention kernel pair (on by default)
+    mmt_train_sps = None
+    try:
+        from openvivqa_tpu.models.modules.bert import BertEncoderStack
+        from openvivqa_tpu.models.modules.masks import MASK_VALUE
+
+        m_bs, m_len, m_hidden, m_heads, m_layers = 32, 512, 768, 8, 4
+        stack = BertEncoderStack(
+            hidden_size=m_hidden, num_layers=m_layers, num_heads=m_heads,
+            dropout=0.1,
+        )
+        xm = jnp.asarray(
+            rng.normal(size=(m_bs, m_len, m_hidden)).astype(np.float32)
+        )
+        mb = np.zeros((m_bs, 1, m_len, m_len), np.float32)
+        mb[:, :, :, m_len - 40:] = MASK_VALUE
+        mbias = jnp.asarray(mb)
+        mvars = jax.jit(stack.init)(
+            jax.random.PRNGKey(1), xm, attention_bias=mbias
+        )
+        mtx = optax.adam(1e-4)
+        mopt = mtx.init(mvars["params"])
+
+        def mmt_loss(p, x, key):
+            out = stack.apply(
+                {"params": p}, x, attention_bias=mbias, train=True,
+                rngs={"dropout": key},
+            )
+            return jnp.mean(out ** 2)
+
+        @partial(jax.jit, static_argnames="n")
+        def mmt_chain(params, opt_state, x, n):
+            def body(c, i):
+                p, o, s = c
+                l, grads = jax.value_and_grad(mmt_loss)(
+                    p, x + s, jax.random.fold_in(jax.random.PRNGKey(3), i)
+                )
+                updates, o = mtx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o, l * 1e-12), None
+
+            c, _ = jax.lax.scan(
+                body, (params, opt_state, jnp.float32(0.0)), jnp.arange(n)
+            )
+            return c[2]
+
+        n_mmt = 20
+        float(mmt_chain(mvars["params"], mopt, xm, n_mmt))
+        start = time.perf_counter()
+        float(mmt_chain(mvars["params"], mopt, xm, n_mmt))
+        mmt_elapsed = time.perf_counter() - start
+        mmt_train_sps = m_bs * n_mmt / mmt_elapsed
+    except Exception as exc:  # noqa: BLE001 — best-effort extra
+        print(f"# mmt train bench skipped: {exc}", flush=True)
+
     # ---- beam-3 generative eval (IterativeMCAN, the flagship decode) ------
     beam_sps = None
     try:
@@ -278,6 +335,9 @@ def main():
                 ),
                 "beam_samples_per_sec": (
                     round(beam_sps, 2) if beam_sps else None
+                ),
+                "mmt_train_samples_per_sec": (
+                    round(mmt_train_sps, 2) if mmt_train_sps else None
                 ),
                 "eval_mfu": round(eval_mfu, 4) if eval_mfu else None,
                 "train_mfu": round(train_mfu, 4) if train_mfu else None,

@@ -6,13 +6,19 @@ dropout) and vision_embeddings.py:86-111 (ViTEmbedding: frozen ViT backbone
 -> proj -> GELU -> dropout), plus T5Embedding (dangling registry name in
 configs/vit_mt5.yaml:65 — implemented here so the config runs).
 
-TPU adaptation: HF tokenizers and hub downloads are host-only/offline, so
-* question ids come from the framework vocab (`question_tokens`), embedded
-  by an in-graph BERT-style stack of the configured pretrained dims;
-* backbones are frozen with stop_gradient (the reference sets
-  requires_grad=False);
-* when a local HF cache is present, `try_load_hf_weights` can seed the
-  parameters (weight conversion is best-effort and logged, never fatal).
+TPU adaptation: HF hub downloads are host-only/offline, so
+* backbones are architecture-faithful flax stacks at the real checkpoint
+  dims (BACKBONE_SPECS keyed by PRETRAINED_NAME; BERT-layout families via
+  BertEmbeddings/BertEncoderStack, plus true T5/mT5, ALBERT and
+  DeBERTa-v2/v3 stacks in modules/t5.py / albert.py / deberta.py), frozen
+  with stop_gradient (the reference sets requires_grad=False);
+* question ids default to the framework vocab (`question_tokens`); with a
+  dataset-side `HF_TOKENIZER`, real backbone ids + a tokenizer-derived
+  validity mask arrive as `question_backbone_tokens`/`_mask`
+  (data/hf_tokenization.py) for bit-parity with the HF text path;
+* converted checkpoint weights seed the wrappers in one call
+  (hf_conversion.load_into_wrapper, torch-verified in
+  tests/test_hf_conversion.py).
 """
 
 from __future__ import annotations
