@@ -342,13 +342,28 @@ def _dropout_keep(seed_ref, qblk, sk, head, n_heads, sq, threshold):
     identical under any q-block partition whose block is a multiple of
     _MASK_TILE, letting forward and backward pick different block sizes
     while regenerating bit-identical masks."""
-    if sq <= _MASK_TILE:  # single block: partition-independence is trivial
-        base = seed_ref[0] + pl.program_id(0) * n_heads + head
-        pltpu.prng_seed(base)
-        bits = jax.lax.shift_right_logical(
-            pltpu.bitcast(pltpu.prng_random_bits((qblk, sk)), jnp.int32), 9
+    if qblk % _MASK_TILE or sq % _MASK_TILE:
+        # non-tile-aligned lengths only occur as a SINGLE block covering
+        # the whole sequence (qblk == sq, enforced by the planners), so
+        # partition-independence is trivial — generate ceil tiles and
+        # slice the tail
+        assert qblk == sq
+        base = seed_ref[0] + (pl.program_id(0) * n_heads + head) * (
+            (sq + _MASK_TILE - 1) // _MASK_TILE
         )
-        return bits >= threshold
+        rows = []
+        for t in range((sq + _MASK_TILE - 1) // _MASK_TILE):
+            pltpu.prng_seed(base + t)
+            bits = jax.lax.shift_right_logical(
+                pltpu.bitcast(
+                    pltpu.prng_random_bits((min(_MASK_TILE, sq), sk)),
+                    jnp.int32,
+                ),
+                9,
+            )
+            rows.append(bits >= threshold)
+        full = jnp.concatenate(rows, axis=0) if len(rows) > 1 else rows[0]
+        return full[:qblk]
     n_q_tiles = sq // _MASK_TILE
     base = seed_ref[0] + (
         (pl.program_id(0) * n_heads + head) * n_q_tiles
@@ -479,10 +494,10 @@ def _packed_dropout_bwd_kernel(
 def _mask_tile_candidates(sq: int):
     # dropout masks are generated in fixed _MASK_TILE-row tiles, so any
     # q-block must be a multiple of _MASK_TILE (and sq itself tiled)
-    if sq <= _MASK_TILE:
-        return [sq]
     if sq % _MASK_TILE:
-        return []
+        # arbitrary lengths (e.g. M4C joint streams) are supported as a
+        # single whole-sequence block; splitting would cut a mask tile
+        return [sq]
     return [sq] + [
         b for b in (512, 384, 256, 128, 64) if b % _MASK_TILE == 0 and sq % b == 0
     ]
