@@ -38,6 +38,12 @@ class BaseDataset:
         self.max_regions = int(
             config.get("MAX_REGIONS", DEFAULT_MAX_REGIONS) or DEFAULT_MAX_REGIONS
         )
+        # grid streams have their own native length (e.g. 7x7=49); padding
+        # them to MAX_REGIONS would silently truncate or shift positions.
+        # MAX_GRIDS pins a static length; unset leaves grids native (the
+        # extractor emits a fixed grid per image anyway).
+        max_grids = config.get("MAX_GRIDS")
+        self.max_grids = int(max_grids) if max_grids else None
         self._feature_cache: Dict[int, Dict[str, Any]] = {}
         self.cache_features = bool(config.get("CACHE_FEATURES", False))
         # packed store fast path: FEATURES may point at a .fpack blob built
@@ -57,6 +63,15 @@ class BaseDataset:
     def _index_images(json_data: Dict) -> Dict[int, Dict]:
         return {image["id"]: image for image in json_data["images"]}
 
+    def _pad_key(self, key: str, array: np.ndarray) -> np.ndarray:
+        if array.ndim < 1 or array.shape[0] <= 1:
+            return array
+        if key.startswith("grid"):
+            if self.max_grids is None:
+                return array
+            return self._pad_static(array, self.max_grids)
+        return self._pad_static(array, self.max_regions)
+
     def _pad_static(self, array: np.ndarray, length: int) -> np.ndarray:
         if array.shape[0] == length:
             return array
@@ -70,9 +85,7 @@ class BaseDataset:
             return self._feature_cache[image_id]
         if self._packed_store is not None:
             features = {
-                key: self._pad_static(np.asarray(value), self.max_regions)
-                if value.ndim >= 1 and value.shape[0] > 1
-                else np.asarray(value)
+                key: self._pad_key(key, np.asarray(value))
                 for key, value in self._packed_store.get(image_id).items()
             }
             if self.cache_features:
@@ -83,10 +96,9 @@ class BaseDataset:
         features: Dict[str, Any] = {}
         for key, value in raw.items():
             if isinstance(value, np.ndarray) and value.dtype != object:
-                value = np.asarray(value, dtype=np.float32)
-                if value.ndim >= 1 and value.shape[0] > 1:
-                    value = self._pad_static(value, self.max_regions)
-                features[key] = value
+                features[key] = self._pad_key(
+                    key, np.asarray(value, dtype=np.float32)
+                )
             else:
                 features[key] = value
         if self.cache_features:

@@ -125,12 +125,18 @@ def generate_synthetic_dataset(
     ann_id = 0
     for image_id in range(n_images):
         for _ in range(n_questions_per_image):
+            answers = [_sentence(rng, 1, 3) for _ in range(n_answers)]
             all_annotations.append(
                 {
                     "id": ann_id,
                     "image_id": image_id,
                     "question": _sentence(rng, 3, 7) + " ?",
-                    "answers": [_sentence(rng, 1, 3) for _ in range(n_answers)],
+                    "answers": answers,
+                    # the EVJVQA schema uses a singular "answer" key (the
+                    # reference's multimodal vocabs read it while its
+                    # datasets read "answers"); emit both so every
+                    # consumer works
+                    "answer": answers[0],
                     "QA-type": int(rng.integers(0, 3)),
                 }
             )

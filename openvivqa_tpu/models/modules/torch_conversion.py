@@ -337,6 +337,23 @@ def convert_mmf_m4c(state_dict: Mapping[str, Any], config) -> Dict:
     return params
 
 
+def convert_joint_transformer(state_dict: Mapping[str, Any], config) -> Dict:
+    """Reference JointTransformer (joint_transformer.py:11-82) -> our tree:
+    modality-stream embeddings (+ the shared UsualEmbedding providing the
+    modality-tag rows), single Encoder, masked Decoder."""
+    sd = StateDict(state_dict)
+    return {
+        "streams": {
+            "region_embedding": {"Dense_0": linear(sd, "region_embedding.proj")},
+            "grid_embedding": {"Dense_0": linear(sd, "grid_embedding.proj")},
+            "box_embedding": {"Dense_0": linear(sd, "box_embedding.proj")},
+            "text_embedding": convert_text_embedding(sd, "text_embedding"),
+        },
+        "encoder": encoder(sd, "encoder", config.ENCODER.LAYERS),
+        "decoder": decoder(sd, "decoder", config.DECODER.LAYERS),
+    }
+
+
 def convert_mmf_language_adaptive(state_dict: Mapping[str, Any], config) -> Dict:
     """MMF_LanguageAdaptiveM4C: MMF_M4C body + PretrainedAdaptiveTextBert
     (mmf_language_adaptive_m4c.py:204-251 — one frozen multilingual
@@ -484,6 +501,7 @@ MODEL_CONVERTERS = {
     "MMF_IterativeM4C": convert_mmf_iterative_m4c,
     "MMF_Iterative_Multilevel_M4C": convert_mmf_iterative_m4c,
     "MMF_LanguageAdaptiveM4C": convert_mmf_language_adaptive,
+    "JointTransformer": convert_joint_transformer,
     # Documented hard-unsupported (VERDICT r1 item 7): these reference
     # checkpoints describe DIFFERENT architectures than the ones this
     # framework runs under the same registry names, so a weight mapping

@@ -62,6 +62,15 @@ class OcrOpenEndedTask(OpenEndedTask):
         ]
 
 
+def _pad_tables(ocr_tokens, n_rows):
+    """Extend per-sample OCR tables to the padded batch size (padding rows
+    reuse the last table; they are dropped by sample_valid anyway)."""
+    tables = list(ocr_tokens)
+    if tables and len(tables) < n_rows:
+        tables += [tables[-1]] * (n_rows - len(tables))
+    return tables
+
+
 class _GreedyMMFMixin:
     """Shared greedy-decode plumbing for the MMF/M4C dict-result models."""
 
@@ -296,7 +305,9 @@ class MmfClassificationTask(BaseTask):
         gens, gts = {}, {}
         for it, (batch, device_batch) in enumerate(self.device_batches(dataloader)):
             preds = np.asarray(eval_step(self.state, device_batch))
-            ocr_tokens = batch["ocr_tokens"]
+            # batch-dim padding rows (sample_valid False) have no OCR
+            # table; reuse the last so their (discarded) rows still decode
+            ocr_tokens = _pad_tables(batch["ocr_tokens"], preds.shape[0])
             answers_gt = self.vocab.decode_answer(
                 batch["answer"].reshape(-1), ocr_tokens, join_word=True
             )
@@ -367,7 +378,7 @@ class MmfClassificationTask(BaseTask):
             self.device_batches(self.test_dataloader)
         ):
             preds = np.asarray(eval_step(self.state, device_batch))
-            ocr_tokens = batch["ocr_tokens"]
+            ocr_tokens = _pad_tables(batch["ocr_tokens"], preds.shape[0])
             answers_gt = self.vocab.decode_answer(
                 batch["answer"].reshape(-1), ocr_tokens, join_word=True
             )

@@ -230,6 +230,44 @@ def mcan_cfg():
     }
 
 
+def joint_transformer_cfg():
+    return {
+        "ARCHITECTURE": "JointTransformer", "NAME": "parity_joint",
+        "DEVICE": "cpu", "D_MODEL": D,
+        "REGION_EMBEDDING": {"ARCHITECTURE": "FeatureEmbedding",
+                             "D_FEATURE": 1024, "D_MODEL": D, "DROPOUT": 0.0},
+        "GRID_EMBEDDING": {"ARCHITECTURE": "FeatureEmbedding",
+                           "D_FEATURE": 2048, "D_MODEL": D, "DROPOUT": 0.0},
+        "BOX_EMBEDDING": {"ARCHITECTURE": "FeatureEmbedding",
+                          "D_FEATURE": 4, "D_MODEL": D, "DROPOUT": 0.0},
+        "TEXT_EMBEDDING": {"ARCHITECTURE": "UsualEmbedding", "D_MODEL": D,
+                           "D_EMBEDDING": D, "DROPOUT": 0.0,
+                           "WORD_EMBEDDING": None, "WORD_EMBEDDING_CACHE": None},
+        "ENCODER": {"ARCHITECTURE": "Encoder", "D_MODEL": D, "LAYERS": LAYERS,
+                    "SELF_ATTENTION": attn_cfg()},
+        "DECODER": {
+            "ARCHITECTURE": "Decoder", "D_MODEL": D, "LAYERS": LAYERS,
+            "ATTENTION": {
+                "SELF_ATTENTION": attn_cfg(True),
+                "ENC_ATTENTION": attn_cfg(),
+            },
+            "TEXT_EMBEDDING": {
+                "ARCHITECTURE": "UsualEmbedding", "D_MODEL": D,
+                "D_EMBEDDING": D, "DROPOUT": 0.0, "WORD_EMBEDDING": None,
+                "WORD_EMBEDDING_CACHE": None,
+            },
+        },
+    }
+
+
+def multimodal_vocab_extra():
+    return {
+        "TYPE": "VlspVqaMultiModalVocab",
+        "IMG_TOKEN": "<img>", "FEAT_TOKEN": "<feat>", "BOX_TOKEN": "<box>",
+        "QUESTION_TOKEN": "<question>", "ANSWER_TOKEN": "<answer>",
+    }
+
+
 def mmf_m4c_cfg():
     return {
         "ARCHITECTURE": "MMF_M4C", "NAME": "parity_mmf", "DEVICE": "cpu",
@@ -293,6 +331,16 @@ def ref_setup(paths, CfgNode, case):
     if case == "mmf_m4c":
         vocab = META_VOCAB.get("OcrVocab")(
             CfgNode(base_vocab_cfg(paths, ocr_vocab_extra()))
+        )
+    elif case == "joint_transformer":
+        # the reference's multimodal vocabs read config.VOCAB.* while its
+        # builder passes the VOCAB node itself (vocab_builder.py:6 vs
+        # multimodal_vocab.py:16 — broken as checked out); construct the
+        # class directly with the node shape it expects
+        node = base_vocab_cfg(paths, multimodal_vocab_extra())
+        vocab = META_VOCAB.get("VlspVqaMultiModalVocab")(
+            CfgNode({"VOCAB": node, "JSON_PATH": node["JSON_PATH"],
+                     "MIN_FREQ": node["MIN_FREQ"]})
         )
     elif case == "mcan":
         vocab = META_VOCAB.get("ClassificationVocab")(
@@ -359,6 +407,29 @@ def ref_setup(paths, CfgNode, case):
 
         train_set = FeatureClassificationDataset(paths["train"], vocab, ds_cfg)
         dev_set = FeatureClassificationDataset(paths["dev"], vocab, ds_cfg)
+    elif case == "joint_transformer":
+        from data_utils.datasets.multilingual_datasets import (
+            MultilingualDictionaryDataset,
+            MultilingualFeatureDataset,
+        )
+        from data_utils.utils import preprocess_sentence as ref_preprocess
+
+        # the reference dictionary dataset stores the RAW question string
+        # and encode_question then iterates its characters
+        # (multilingual_datasets.py:51, dictionary_dataset.py:41-42 —
+        # broken as checked out); tokenise at load like this framework does
+        class FixedMultilingualDictionaryDataset(MultilingualDictionaryDataset):
+            def load_annotations(self, json_data):
+                annotations = super().load_annotations(json_data)
+                for ann in annotations:
+                    if isinstance(ann["question"], str):
+                        ann["question"] = ref_preprocess(
+                            ann["question"], self.vocab.tokenizer
+                        )
+                return annotations
+
+        train_set = MultilingualFeatureDataset(paths["train"], vocab, ds_cfg)
+        dev_set = FixedMultilingualDictionaryDataset(paths["dev"], vocab, ds_cfg)
     else:
         from data_utils.datasets.dictionary_dataset import DictionaryDataset
         from data_utils.datasets.feature_dataset import FeatureDataset
@@ -377,10 +448,52 @@ def ref_setup(paths, CfgNode, case):
         "iterative_mcan": iterative_mcan_cfg,
         "mcan": mcan_cfg,
         "mmf_m4c": mmf_m4c_cfg,
+        "joint_transformer": joint_transformer_cfg,
     }
     model = META_ARCHITECTURE.get(cfg_map[case]()["ARCHITECTURE"])(
         CfgNode(cfg_map[case]()), vocab
     ).to("cpu")
+
+    if case == "joint_transformer":
+        # the reference wraps its own encoder/decoder calls in Instance
+        # objects their positional signatures cannot unpack
+        # (joint_transformer.py:28-35,77-80 vs encoders.py:112,
+        # decoders.py:49 — TypeError as checked out); shim the two
+        # methods to call the modules directly, preserving the math
+        def encoder_forward(items, _model=model):
+            m = _model
+            feats, mask = [], []
+            region, region_mask = m.region_embedding(items.region_features)
+            tag = lambda t, idx: t + m.text_embedding(
+                torch.full(t.shape[:2], idx, dtype=torch.long)
+            )[0]
+            region = tag(region, vocab.feat_idx)
+            rboxes, rboxes_mask = m.box_embedding(items.region_boxes)
+            rboxes = tag(rboxes, vocab.box_idx)
+            grid, grid_mask = m.grid_embedding(items.grid_features)
+            grid = tag(grid, vocab.feat_idx)
+            gboxes, gboxes_mask = m.box_embedding(items.grid_boxes)
+            gboxes = tag(gboxes, vocab.box_idx)
+            text, (text_mask, _) = m.text_embedding(items.question_tokens)
+            text = tag(text, vocab.question_idx)
+            joint = torch.cat([region, rboxes, grid, gboxes, text], dim=1)
+            joint_mask = torch.cat(
+                [region_mask, rboxes_mask, grid_mask, gboxes_mask, text_mask],
+                dim=-1,
+            )
+            encoded = m.encoder(joint, joint_mask)
+            return encoded, joint_mask
+
+        def forward(items, _model=model):
+            feats, mask = encoder_forward(items)
+            return _model.decoder(
+                answer_tokens=items.answer_tokens,
+                encoder_features=feats,
+                encoder_attention_mask=mask,
+            )
+
+        model.encoder_forward = encoder_forward
+        model.forward = forward
     return types.SimpleNamespace(
         torch=torch, vocab=vocab, train_loader=train_loader,
         dev_loader=dev_loader, model=model, ref_eval=ref_eval,
@@ -513,6 +626,10 @@ def run_ours(paths, epochs, case, ref):
         vocab = build_vocab(
             ConfigNode(base_vocab_cfg(paths, ocr_vocab_extra()))
         )
+    elif case == "joint_transformer":
+        vocab = build_vocab(
+            ConfigNode(base_vocab_cfg(paths, multimodal_vocab_extra()))
+        )
     elif case == "mcan":
         vocab = build_vocab(
             ConfigNode(base_vocab_cfg(paths, {"TYPE": "ClassificationVocab"}))
@@ -530,6 +647,9 @@ def run_ours(paths, epochs, case, ref):
         "iterative_mcan": ("FeatureDataset", "DictionaryDataset"),
         "mcan": ("FeatureClassificationDataset", "FeatureClassificationDataset"),
         "mmf_m4c": ("OcrFeatureDataset", "OcrDictionaryDataset"),
+        "joint_transformer": (
+            "MultilingualFeatureDataset", "MultilingualDictionaryDataset"
+        ),
     }[case]
     common = {
         "FEATURE_PATH": {
@@ -562,6 +682,7 @@ def run_ours(paths, epochs, case, ref):
         "iterative_mcan": iterative_mcan_cfg,
         "mcan": mcan_cfg,
         "mmf_m4c": mmf_m4c_cfg,
+        "joint_transformer": joint_transformer_cfg,
     }
     config = ConfigNode(cfg_map[case]())
     from openvivqa_tpu.builders import META_ARCHITECTURE
@@ -607,7 +728,7 @@ def run_ours(paths, epochs, case, ref):
                 {"params": p}, batch, method=model.greedy_decode
             )
         )
-    elif case == "iterative_mcan":
+    elif case in ("iterative_mcan", "joint_transformer"):
         gen_jit = jax.jit(
             lambda p, batch: generate(
                 model, {"params": p}, batch, batch_size=EVAL_BATCH,
@@ -710,8 +831,8 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--epochs", type=int, default=3)
     parser.add_argument(
-        "--cases", default="iterative_mcan,mcan,mmf_m4c",
-        help="comma list of iterative_mcan,mcan,mmf_m4c",
+        "--cases", default="iterative_mcan,mcan,mmf_m4c,joint_transformer",
+        help="comma list of iterative_mcan,mcan,mmf_m4c,joint_transformer",
     )
     parser.add_argument("--out", default=os.path.join(REPO, "PARITY_RUN.json"))
     args = parser.parse_args()
