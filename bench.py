@@ -18,16 +18,27 @@ plus honest-performance extras (VERDICT r1 item 5):
   eval_mfu / train_mfu — XLA cost-analysis FLOPs over wall-clock against
     the chip's bf16 peak (TPU matmuls at default precision execute as
     bf16 passes, CLAUDE.md measured facts).
+
+Fault tolerance (VERDICT r2 item 1): the measurement runs in a worker
+subprocess (fresh process == fresh TPU client).  The worker streams each
+metric as a "#PARTIAL {json}" line the moment it is measured; the
+orchestrator retries transient TPU faults (round 2's official artifact was
+a FailedPrecondition at the first fetch) with a fresh backend, and ALWAYS
+prints a parseable final JSON line — merging whatever partial metrics
+survived and an "error" field instead of a stack trace when attempts fail.
+The XLA compile cache lives in-repo (.xla_cache/) because /tmp is wiped
+between rounds and a cold compile of the four chains runs >10 minutes.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 from functools import partial
 
-import numpy as np
-
 REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(REPO, ".xla_cache")
 
 # bf16 peak FLOP/s by device kind (public TPU specs); None -> MFU omitted
 PEAK_FLOPS = {
@@ -39,6 +50,24 @@ PEAK_FLOPS = {
     "TPU v6 lite": 918e12,
     "TPU v6e": 918e12,
 }
+
+# Partial-metric defaults; the orchestrator fills these from #PARTIAL lines.
+RESULT_KEYS = (
+    "value",
+    "vs_baseline",
+    "train_samples_per_sec",
+    "vs_baseline_train",
+    "beam_samples_per_sec",
+    "mmt_train_samples_per_sec",
+    "eval_mfu",
+    "train_mfu",
+    "device_kind",
+)
+
+
+def _emit_partial(**kv) -> None:
+    """Stream a metric to the orchestrator the moment it exists."""
+    print("#PARTIAL " + json.dumps(kv), flush=True)
 
 
 def _flops_of(compiled) -> float:
@@ -100,14 +129,18 @@ def _mcan_model():
     return MCAN(config, vocab), vocab
 
 
-def main():
+def worker():
+    import numpy as np
+
     import jax
     import jax.numpy as jnp
 
     try:
-        jax.config.update(
-            "jax_compilation_cache_dir", "/tmp/openvivqa_xla_cache"
-        )
+        os.makedirs(CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
+        # Cache every program: the default min-compile-time threshold skips
+        # fast compiles, which leaves retries/next rounds partially cold.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:  # noqa: BLE001
         pass
 
@@ -115,6 +148,10 @@ def main():
 
     populate()
     model, vocab = _mcan_model()
+
+    kind = jax.devices()[0].device_kind
+    peak = PEAK_FLOPS.get(kind)
+    _emit_partial(device_kind=kind)
 
     batch_size, n_regions, max_q = 64, 100, vocab.max_question_length
     rng = np.random.default_rng(0)
@@ -134,6 +171,12 @@ def main():
         jax.random.PRNGKey(0), batch
     )
     params = variables["params"]
+
+    baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    anchor = {}
+    if os.path.isfile(baseline_path):
+        with open(baseline_path) as handle:
+            anchor = json.load(handle)
 
     # Methodology (CLAUDE.md): over the axon tunnel, repeated identical
     # dispatches can be deduplicated and block_until_ready is unreliable, so
@@ -165,6 +208,17 @@ def main():
     # XLA cost analysis reports a scan body ONCE, not x trip-count
     # (calibrated against a known matmul chain): scale by n
     eval_flops = _flops_of(eval_compiled) * n_iters
+    eval_mfu = eval_flops / eval_elapsed / peak if (peak and eval_flops) else None
+    vs_baseline = (
+        eval_sps / anchor["mcan_eval_samples_per_sec"]
+        if anchor.get("mcan_eval_samples_per_sec")
+        else None
+    )
+    _emit_partial(
+        value=round(eval_sps, 2),
+        vs_baseline=round(vs_baseline, 2) if vs_baseline else None,
+        eval_mfu=round(eval_mfu, 4) if eval_mfu else None,
+    )
 
     # ---- train step (loss + grads + Adam), sequential like an epoch -------
     import optax
@@ -207,10 +261,24 @@ def main():
     train_elapsed = time.perf_counter() - start
     train_sps = batch_size * n_train / train_elapsed
     train_flops = _flops_of(train_compiled) * n_train  # scan body counted once
+    train_mfu = (
+        train_flops / train_elapsed / peak if (peak and train_flops) else None
+    )
+    vs_baseline_train = (
+        train_sps / anchor["mcan_train_samples_per_sec"]
+        if anchor.get("mcan_train_samples_per_sec")
+        else None
+    )
+    _emit_partial(
+        train_samples_per_sec=round(train_sps, 2),
+        vs_baseline_train=(
+            round(vs_baseline_train, 2) if vs_baseline_train else None
+        ),
+        train_mfu=round(train_mfu, 4) if train_mfu else None,
+    )
 
     # ---- MMT-dims train step (the M4C-family hot stack, dropout 0.1) ------
     # exercises the Pallas dropout-attention kernel pair (on by default)
-    mmt_train_sps = None
     try:
         from openvivqa_tpu.models.modules.bert import BertEncoderStack
         from openvivqa_tpu.models.modules.masks import MASK_VALUE
@@ -259,15 +327,14 @@ def main():
         start = time.perf_counter()
         float(mmt_chain(mvars["params"], mopt, xm, n_mmt))
         mmt_elapsed = time.perf_counter() - start
-        mmt_train_sps = m_bs * n_mmt / mmt_elapsed
+        _emit_partial(
+            mmt_train_samples_per_sec=round(m_bs * n_mmt / mmt_elapsed, 2)
+        )
     except Exception as exc:  # noqa: BLE001 — best-effort extra
         print(f"# mmt train bench skipped: {exc}", flush=True)
 
     # ---- beam-3 generative eval (IterativeMCAN, the flagship decode) ------
-    beam_sps = None
     try:
-        import sys
-
         sys.path.insert(0, REPO)
         import __graft_entry__ as graft
         from openvivqa_tpu.training.decode import generate
@@ -300,52 +367,88 @@ def main():
         start = time.perf_counter()
         float(beam_chain(beam_vars["params"], beam_batch, n_beam))
         beam_elapsed = time.perf_counter() - start
-        beam_sps = beam_bs * n_beam / beam_elapsed
+        _emit_partial(
+            beam_samples_per_sec=round(beam_bs * n_beam / beam_elapsed, 2)
+        )
     except Exception as exc:  # noqa: BLE001 — beam bench is best-effort
         print(f"# beam bench skipped: {exc}", flush=True)
 
-    # ---- MFU ---------------------------------------------------------------
-    kind = jax.devices()[0].device_kind
-    peak = PEAK_FLOPS.get(kind)
-    eval_mfu = eval_flops / eval_elapsed / peak if (peak and eval_flops) else None
-    train_mfu = (
-        train_flops / train_elapsed / peak if (peak and train_flops) else None
-    )
+    print("#WORKER_DONE", flush=True)
 
-    baseline_path = os.path.join(REPO, "BASELINE_MEASURED.json")
-    vs_baseline = vs_baseline_train = None
-    if os.path.isfile(baseline_path):
-        with open(baseline_path) as handle:
-            anchor = json.load(handle)
-        if anchor.get("mcan_eval_samples_per_sec"):
-            vs_baseline = eval_sps / anchor["mcan_eval_samples_per_sec"]
-        if anchor.get("mcan_train_samples_per_sec"):
-            vs_baseline_train = train_sps / anchor["mcan_train_samples_per_sec"]
 
-    print(
-        json.dumps(
-            {
-                "metric": "mcan_eval_samples_per_sec_per_chip",
-                "value": round(eval_sps, 2),
-                "unit": "samples/sec/chip",
-                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-                "train_samples_per_sec": round(train_sps, 2),
-                "vs_baseline_train": (
-                    round(vs_baseline_train, 2) if vs_baseline_train else None
-                ),
-                "beam_samples_per_sec": (
-                    round(beam_sps, 2) if beam_sps else None
-                ),
-                "mmt_train_samples_per_sec": (
-                    round(mmt_train_sps, 2) if mmt_train_sps else None
-                ),
-                "eval_mfu": round(eval_mfu, 4) if eval_mfu else None,
-                "train_mfu": round(train_mfu, 4) if train_mfu else None,
-                "device_kind": kind,
-            }
+def _final_json(partials: dict, error: str | None) -> str:
+    out = {
+        "metric": "mcan_eval_samples_per_sec_per_chip",
+        "value": partials.get("value", 0.0),
+        "unit": "samples/sec/chip",
+        "vs_baseline": partials.get("vs_baseline"),
+    }
+    for key in RESULT_KEYS[2:]:
+        out[key] = partials.get(key)
+    if error:
+        out["error"] = error
+    return json.dumps(out)
+
+
+def orchestrate() -> None:
+    """Run the worker with retries; always print one parseable JSON line."""
+    partials: dict = {}
+    error = None
+    # First attempt gets a cold-compile budget; retries run against the
+    # now-warm persistent cache and should finish in ~2-3 minutes.
+    budgets = (1500, 900, 420)
+    for attempt, budget in enumerate(budgets):
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
         )
-    )
+        deadline = time.monotonic() + budget
+        tail: list[str] = []
+        done = False
+        try:
+            while True:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    proc.kill()
+                    proc.wait()
+                    error = f"attempt {attempt + 1}: timeout after {budget}s"
+                    break
+                line = proc.stdout.readline()
+                if not line:
+                    rc = proc.wait()
+                    if rc == 0 and done:
+                        error = None
+                    else:
+                        detail = "; ".join(tail[-3:]) or f"rc={rc}"
+                        error = f"attempt {attempt + 1}: {detail}"
+                    break
+                line = line.rstrip("\n")
+                if line.startswith("#PARTIAL "):
+                    try:
+                        partials.update(json.loads(line[len("#PARTIAL "):]))
+                    except json.JSONDecodeError:
+                        pass
+                elif line == "#WORKER_DONE":
+                    done = True
+                else:
+                    tail.append(line)
+                    print(line, file=sys.stderr, flush=True)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+                proc.wait()
+        if error is None:
+            break
+        print(f"# bench {error}; retrying", file=sys.stderr, flush=True)
+        time.sleep(15)  # let a transiently-bad chip settle
+    print(_final_json(partials, error))
+    sys.exit(0)
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker()
+    else:
+        orchestrate()
