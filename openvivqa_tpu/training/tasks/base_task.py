@@ -121,6 +121,12 @@ class BaseTask:
         )
         variables = init_fn({"params": init_rng, "dropout": init_rng}, batch.arrays())
         params = variables["params"]
+        # Configs naming pretrained backbones must resolve local weights
+        # (hard-fail policy + runtime grafting; the reference loads hub
+        # weights unconditionally, text_embeddings.py:303-337)
+        from ...models.modules.pretrained_loading import apply_pretrained_policy
+
+        params, _ = apply_pretrained_policy(self.config.MODEL, params)
         frozen = dict(variables.get("frozen", {}))
         n_params = sum(p.size for p in jax.tree.leaves(params))
         logger.info("Model parameters: %.2fM", n_params / 1e6)

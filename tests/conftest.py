@@ -7,8 +7,9 @@ hardware).
 
 import os
 
-# tests exercise the documented pseudo-random fallback deliberately
+# tests exercise the documented pseudo-random fallbacks deliberately
 os.environ.setdefault("OPENVIVQA_ALLOW_RANDOM_EMBEDDINGS", "1")
+os.environ.setdefault("OPENVIVQA_ALLOW_RANDOM_BACKBONE", "1")
 
 # NOTE: in this image the JAX_PLATFORMS env var is ignored (the axon TPU
 # plugin wins); JAX_PLATFORM_NAME + jax.config.update do work.
