@@ -6,21 +6,27 @@ from this checkout and the wrapper is broken as checked out (missing
 `evaluation.utils` import).  This implementation follows the METEOR 1.5
 scoring model (Denkowski & Lavie 2014) directly:
 
-* matcher stages: exact (weight 1.0) then stem (weight 0.6, Snowball
-  English stemmer — the same stemmer family the jar uses).  The synonym
-  (WordNet) and paraphrase-table stages are ABSENT — both need data files
-  shipped inside the jar; scores on stem/synonym-heavy English text will
-  read slightly lower than the jar's.  Vietnamese (the primary OpenViVQA
-  language) has no stem/synonym/paraphrase resources in METEOR 1.5 at all,
-  so vi scores match the jar's matcher semantics exactly;
+* matcher stages: exact (weight 1.0), stem (0.6, Snowball English — the
+  stemmer family the jar uses), synonym (0.8, WordNet — engages when the
+  nltk wordnet corpus is installed locally, mirroring the jar's bundled
+  synonym data; silently absent otherwise).  The paraphrase-table stage
+  (phrase-level, needs the table shipped inside the jar) is ABSENT —
+  documented divergence, quantified in docs/METEOR_DIVERGENCE.md.
+  Vietnamese (the primary OpenViVQA language) has no stem/synonym/
+  paraphrase resources in METEOR 1.5 at all, so vi scores match the jar's
+  matcher semantics exactly;
 * content/function-word weighting (delta) with the standard English
   function-word list;
 * en task parameters: alpha 0.85, beta 0.2, gamma 0.6, delta 0.75;
   Fmean = P*R / (alpha*P + (1-alpha)*R),
   Pen = gamma * (chunks / avg_matches)^beta,  score = (1-Pen) * Fmean;
-* alignment: stage-priority one-to-one matching; ties between reference
-  slots prefer the slot that continues the current chunk (the jar's beam
-  search minimises chunks globally — a documented approximation).
+* alignment: EXACT search over one-to-one matchings with the jar's
+  comparator — maximise matches, then minimise chunks, then minimise the
+  sum of absolute position distances (Aligner semantics) — via a
+  budget-bounded branch-and-bound (answers are short; the budget only
+  trips on adversarial repeated-token inputs, which fall back to the
+  chunk-continuing greedy).  Optimality is property-tested against brute
+  force in tests/test_meteor_alignment.py.
 
 tests/test_evaluation.py pins hand-computed values for each piece.
 """
@@ -32,7 +38,9 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
-STAGE_WEIGHTS = (1.0, 0.6)  # exact, stem
+STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym (METEOR 1.5 en)
+
+_SEARCH_BUDGET = 200_000  # branch-and-bound node limit per sentence pair
 
 # METEOR's English function-word list is frequency-derived; this is the
 # standard closed-class inventory (articles, prepositions, conjunctions,
@@ -66,64 +74,161 @@ def _stemmer():
 _STEM = _stemmer()
 
 
+def _synonym_lookup():
+    """WordNet synset-ids per word, or None when the corpus is absent
+    (offline images).  Same gating as the jar: the stage only exists when
+    its data does."""
+    try:
+        from nltk.corpus import wordnet
+
+        wordnet.synsets("dog")  # force the data load / fail fast
+
+        def synsets(token: str) -> frozenset:
+            return frozenset(s.name() for s in wordnet.synsets(token.lower()))
+
+        return synsets
+    except Exception:  # noqa: BLE001
+        return None
+
+
+_SYNSETS = _synonym_lookup()
+
+
 def _is_function(token: str) -> bool:
     return token.lower() in _FUNCTION_WORDS
+
+
+def _candidate_edges(
+    hypo: List[str], ref: List[str]
+) -> List[List[Tuple[int, int]]]:
+    """cands[i] = [(ref_idx, stage), ...] with the LOWEST matching stage
+    per (i, j) pair (exact supersedes stem supersedes synonym)."""
+    h_stems = [_STEM(t) for t in hypo] if _STEM else None
+    r_stems = [_STEM(t) for t in ref] if _STEM else None
+    h_syn = [_SYNSETS(t) for t in hypo] if _SYNSETS else None
+    r_syn = [_SYNSETS(t) for t in ref] if _SYNSETS else None
+    cands: List[List[Tuple[int, int]]] = []
+    for i, h_tok in enumerate(hypo):
+        row: List[Tuple[int, int]] = []
+        for j, r_tok in enumerate(ref):
+            if h_tok == r_tok:
+                row.append((j, 0))
+            elif h_stems is not None and h_stems[i] == r_stems[j]:
+                row.append((j, 1))
+            elif h_syn is not None and h_syn[i] & r_syn[j]:
+                row.append((j, 2))
+        cands.append(row)
+    return cands
+
+
+class _BudgetExceeded(Exception):
+    pass
+
+
+def _search_alignment(
+    cands: List[List[Tuple[int, int]]], budget: int = _SEARCH_BUDGET
+) -> Optional[List[Tuple[int, int, int]]]:
+    """Exact one-to-one alignment under the jar comparator:
+    (matches desc, chunks asc, sum |i-j| asc).  Returns the optimal pairs
+    or None when the node budget trips (caller falls back to greedy)."""
+    n_hypo = len(cands)
+    suffix = [0] * (n_hypo + 1)
+    for i in reversed(range(n_hypo)):
+        suffix[i] = suffix[i + 1] + (1 if cands[i] else 0)
+
+    best_key: Optional[Tuple[int, int, int]] = None
+    best_pairs: Optional[List[Tuple[int, int, int]]] = None
+    nodes = 0
+
+    def dfs(i, mask, prev_h, prev_r, matches, chunks, dist, pairs):
+        nonlocal best_key, best_pairs, nodes
+        nodes += 1
+        if nodes > budget:
+            raise _BudgetExceeded
+        if best_key is not None and matches + suffix[i] < best_key[0]:
+            return  # cannot reach the incumbent's cardinality
+        if i == n_hypo:
+            key = (matches, -chunks, -dist)
+            if best_key is None or key > best_key:
+                best_key, best_pairs = key, list(pairs)
+            return
+        options = [(j, s) for j, s in cands[i] if not (mask >> j) & 1]
+        # chunk-continuing candidate first: reaches good incumbents early,
+        # which tightens the cardinality bound
+        options.sort(
+            key=lambda js: (
+                0 if (prev_h == i - 1 and js[0] == prev_r + 1) else 1,
+                abs(js[0] - i),
+            )
+        )
+        for j, stage in options:
+            cont = prev_h == i - 1 and j == prev_r + 1
+            pairs.append((i, j, stage))
+            dfs(
+                i + 1, mask | (1 << j), i, j, matches + 1,
+                chunks + (0 if cont else 1), dist + abs(i - j), pairs,
+            )
+            pairs.pop()
+        dfs(i + 1, mask, prev_h, prev_r, matches, chunks, dist, pairs)
+
+    try:
+        dfs(0, 0, -2, -2, 0, 0, 0, [])
+    except _BudgetExceeded:
+        return None
+    return best_pairs or []
+
+
+def _greedy_alignment(
+    cands: List[List[Tuple[int, int]]]
+) -> List[Tuple[int, int, int]]:
+    """Stage-priority greedy fallback: lowest stage wins; reference-slot
+    ties prefer continuing the previous chunk, then the earliest slot."""
+    n_ref = 1 + max(
+        (j for row in cands for j, _ in row), default=-1
+    )
+    taken = [False] * n_ref
+    pairs: List[Tuple[int, int, int]] = []
+    for stage in range(len(STAGE_WEIGHTS)):
+        matched_h = {i for i, _, _ in pairs}
+        prev_r = -2
+        for i, row in enumerate(cands):
+            if i in matched_h:
+                continue
+            free = [j for j, s in row if s == stage and not taken[j]]
+            if not free:
+                continue
+            j = prev_r + 1 if prev_r + 1 in free else free[0]
+            taken[j] = True
+            pairs.append((i, j, stage))
+            matched_h.add(i)
+            prev_r = j
+    pairs.sort()
+    return pairs
+
+
+def _count_chunks(pairs: List[Tuple[int, int, int]]) -> int:
+    if not pairs:
+        return 0
+    chunks = 1
+    for (h_prev, r_prev, _), (h_cur, r_cur, _) in zip(pairs, pairs[1:]):
+        if h_cur != h_prev + 1 or r_cur != r_prev + 1:
+            chunks += 1
+    return chunks
 
 
 def _align(
     hypo: List[str], ref: List[str]
 ) -> Tuple[List[Tuple[int, int, int]], int]:
-    """Stage-priority one-to-one alignment.
+    """Optimal (jar-comparator) alignment with greedy fallback.
 
-    Returns (pairs, chunks) where pairs are (hypo_idx, ref_idx, stage).
-    Stage 0 = exact, stage 1 = stem.  Reference-slot ties prefer
-    continuing the previous chunk, then the earliest slot.
-    """
-    taken_ref = [False] * len(ref)
-    matched_ref_for_h: List[Optional[Tuple[int, int]]] = [None] * len(hypo)
-
-    def run_stage(stage: int, keys_h: List[str], keys_r: List[str]) -> None:
-        slots: Dict[str, List[int]] = {}
-        for j, key in enumerate(keys_r):
-            if not taken_ref[j]:
-                slots.setdefault(key, []).append(j)
-        prev_r = -2
-        for i, key in enumerate(keys_h):
-            if matched_ref_for_h[i] is not None:
-                prev_r = matched_ref_for_h[i][0]
-                continue
-            candidates = slots.get(key)
-            if not candidates:
-                continue
-            # prefer the slot that continues the chunk
-            if prev_r + 1 in candidates:
-                j = prev_r + 1
-            else:
-                j = candidates[0]
-            candidates.remove(j)
-            taken_ref[j] = True
-            matched_ref_for_h[i] = (j, stage)
-            prev_r = j
-
-    run_stage(0, hypo, ref)
-    if _STEM is not None:
-        run_stage(
-            1, [_STEM(t) for t in hypo], [_STEM(t) for t in ref]
-        )
-
-    pairs = [
-        (i, jr, stage)
-        for i, hit in enumerate(matched_ref_for_h)
-        if hit is not None
-        for jr, stage in (hit,)
-    ]
-    if not pairs:
-        return [], 0
-    chunks = 1
-    for (h_prev, r_prev, _), (h_cur, r_cur, _) in zip(pairs, pairs[1:]):
-        if h_cur != h_prev + 1 or r_cur != r_prev + 1:
-            chunks += 1
-    return pairs, chunks
+    Returns (pairs, chunks) where pairs are (hypo_idx, ref_idx, stage)."""
+    cands = _candidate_edges(hypo, ref)
+    pairs = None
+    if len(ref) <= 62:  # mask width guard; answers are far shorter
+        pairs = _search_alignment(cands)
+    if pairs is None:
+        pairs = _greedy_alignment(cands)
+    return pairs, _count_chunks(pairs)
 
 
 def _weighted_counts(tokens: List[str], matched_stages: Dict[int, int]):
