@@ -300,41 +300,91 @@ class AdaptiveScaledDotProductAttention(nn.Module, _ProjectionMixin):
 
 
 class _DecodeKVCache(nn.Module):
-    """Static-shape decode cache: ring-writes the step's projected K/V and
-    the step's padding bias, returns the full buffers plus a bias that masks
-    future positions.  (flax variables must be created in a compact method,
-    hence this submodule.)"""
+    """Static-shape decode cache in PACKED (bs, T, h*d) layout: ring-writes
+    the step's projected K/V and the step's padding bias, returns the full
+    buffers plus a bias that masks future positions.  (flax variables must
+    be created in a compact method, hence this submodule.)
+
+    Packed layout (round 3): full-lane rows feed the decode-step megakernel
+    (ops/decode_step.py) directly; the XLA fallback reshapes to heads.
+
+    `fused`: optional parameter bundle — when given, the ENTIRE step
+    (projections + append + attend + out-proj + residual LayerNorm) runs as
+    one Pallas kernel that updates the cache variables in place and the
+    post-LN hidden is returned instead of the buffers."""
 
     @nn.compact
-    def __call__(self, k_new, v_new, step_bias, max_len: int):
-        bs, h, _, d_k = k_new.shape
-        d_v = v_new.shape[-1]
+    def __call__(
+        self, k_new, v_new, step_bias, max_len: int, fused=None
+    ):
+        if fused is not None:
+            bs, hd = fused["x"].shape
+        else:
+            bs, _, hd = k_new.shape
         cached_k = self.variable(
-            "cache", "key", lambda: jnp.zeros((bs, h, max_len, d_k), jnp.float32)
+            "cache", "key", lambda: jnp.zeros((bs, max_len, hd), jnp.float32)
         )
         cached_v = self.variable(
-            "cache", "value", lambda: jnp.zeros((bs, h, max_len, d_v), jnp.float32)
+            "cache", "value", lambda: jnp.zeros((bs, max_len, hd), jnp.float32)
         )
         cached_bias = self.variable(
-            "cache", "bias", lambda: jnp.zeros((bs, 1, 1, max_len), jnp.float32)
+            "cache", "bias", lambda: jnp.zeros((bs, max_len), jnp.float32)
         )
         index = self.variable("cache", "index", lambda: jnp.zeros((), jnp.int32))
-
         i = index.value
+
+        if fused is not None:
+            if fused.get("kind") == "layer":
+                from ...ops.decode_step import fused_decoder_layer_step
+
+                y, new_k, new_v, new_bias = fused_decoder_layer_step(
+                    fused["x"], fused["self_w"], fused["cross_w"],
+                    fused["ffn_w"],
+                    step_bias.reshape(bs), i,
+                    cached_k.value, cached_v.value, cached_bias.value,
+                    fused["enc_k"], fused["enc_v"], fused["enc_bias"],
+                    fused["scale"], fused["h"],
+                    interpret=fused["interpret"],
+                )
+            else:
+                from ...ops.decode_step import fused_self_attention_step
+
+                w = fused["self_w"]
+                y, new_k, new_v, new_bias = fused_self_attention_step(
+                    fused["x"],
+                    w["wq"], w["bq"], w["wk"], w["bk"],
+                    w["wv"], w["bv"], w["wo"], w["bo"],
+                    w["ln_scale"], w["ln_bias"],
+                    step_bias.reshape(bs),
+                    i,
+                    cached_k.value, cached_v.value, cached_bias.value,
+                    fused["scale"], fused["h"],
+                    interpret=fused["interpret"],
+                )
+            cached_k.value = new_k
+            cached_v.value = new_v
+            cached_bias.value = new_bias
+            index.value = i + 1
+            return y
+
         cached_k.value = jax.lax.dynamic_update_slice(
-            cached_k.value, k_new, (0, 0, i, 0)
+            cached_k.value, k_new, (0, i, 0)
         )
         cached_v.value = jax.lax.dynamic_update_slice(
-            cached_v.value, v_new, (0, 0, i, 0)
+            cached_v.value, v_new, (0, i, 0)
         )
         cached_bias.value = jax.lax.dynamic_update_slice(
-            cached_bias.value, step_bias, (0, 0, 0, i)
+            cached_bias.value, step_bias.reshape(bs, 1), (0, i)
         )
         index.value = i + 1
 
         positions = jnp.arange(max_len)
-        future = jnp.where(positions > i, MASK_VALUE, 0.0)[None, None, None, :]
-        return cached_k.value, cached_v.value, cached_bias.value + future
+        future = jnp.where(positions > i, MASK_VALUE, 0.0)[None, :]
+        return (
+            cached_k.value,
+            cached_v.value,
+            (cached_bias.value + future)[:, None, None, :],
+        )
 
 
 class _StaticEncKVCache(nn.Module):
@@ -343,16 +393,19 @@ class _StaticEncKVCache(nn.Module):
     the first step and reused (the reference re-projects every step,
     attentions.py:327 — at d_model 512 that re-projection is ~90% of the
     per-step cross-attention FLOPs).  Named `enc_kv` so the beam-search
-    gather can skip these beam-invariant buffers."""
+    gather can skip these beam-invariant buffers.
+
+    PACKED (bs, Sk, h*d) layout (round 3) — feeds the cross-attention
+    decode megakernel directly; head-split consumers reshape."""
 
     @nn.compact
     def __call__(self, project_fn, keys, values, n_heads, d_k, d_v):
         bs, sk = keys.shape[0], keys.shape[1]
         cached_k = self.variable(
-            "cache", "enc_kv_key", lambda: jnp.zeros((bs, n_heads, sk, d_k))
+            "cache", "enc_kv_key", lambda: jnp.zeros((bs, sk, n_heads * d_k))
         )
         cached_v = self.variable(
-            "cache", "enc_kv_value", lambda: jnp.zeros((bs, n_heads, sk, d_v))
+            "cache", "enc_kv_value", lambda: jnp.zeros((bs, sk, n_heads * d_v))
         )
         filled = self.variable(
             "cache", "enc_kv_filled", lambda: jnp.zeros((), jnp.int32)
@@ -400,31 +453,88 @@ class MultiHeadAttention(nn.Module):
         max_decode_len: int = 0,
         **kwargs,
     ) -> jnp.ndarray:
+        post_ln_done = False
         if decode and self.can_be_stateful:
-            out = self._decode_step(
-                queries, keys, values, attention_bias, max_decode_len, **kwargs
+            out, post_ln_done = self._decode_step(
+                queries, keys, values, attention_bias, max_decode_len,
+                train=train, **kwargs,
             )
         elif decode and isinstance(self.attention, ScaledDotProductAttention):
-            # cross-attention during decode: keys/values are the constant
-            # encoder stream — project once, reuse every step
-            core = self.attention
-            k, v = self.enc_kv_cache(
-                core.project_kv, keys, values, core.h, core.d_k, core.d_v
+            out, post_ln_done = self._cross_decode_step(
+                queries, keys, values, attention_bias, train=train
             )
-            out = core.attend(core.project_q(queries), k, v, attention_bias)
         else:
             out = self.attention(
                 queries, keys, values, attention_bias=attention_bias,
                 train=train, **kwargs,
             )
-        out = self.dropout(out, deterministic=not train)
-        out = self.layer_norm(queries + out)
+        if not post_ln_done:
+            out = self.dropout(out, deterministic=not train)
+            out = self.layer_norm(queries + out)
         if self.use_aoa:
             aoa_input = jnp.concatenate([queries, out], axis=-1)
             informative = self.informative_attention(aoa_input)
             gate = jax.nn.sigmoid(self.gated_attention(aoa_input))
             out = informative * gate
         return out
+
+    def fused_weights(self) -> dict:
+        """Projection + LayerNorm param values for the decode megakernels
+        (read directly from the bound submodules)."""
+        core = self.attention
+        params_of = lambda m: m.variables["params"]  # noqa: E731
+        ln = params_of(self.layer_norm)
+        return {
+            "wq": params_of(core.fc_q)["kernel"],
+            "bq": params_of(core.fc_q)["bias"],
+            "wk": params_of(core.fc_k)["kernel"],
+            "bk": params_of(core.fc_k)["bias"],
+            "wv": params_of(core.fc_v)["kernel"],
+            "bv": params_of(core.fc_v)["bias"],
+            "wo": params_of(core.fc_o)["kernel"],
+            "bo": params_of(core.fc_o)["bias"],
+            "ln_scale": ln["scale"],
+            "ln_bias": ln["bias"],
+        }
+
+    def fill_enc_cache(self, keys, values):
+        """Project the constant encoder stream into the packed enc K/V
+        cache (idempotent across decode steps)."""
+        core = self.attention
+        return self.enc_kv_cache(
+            lambda kk, vv: (core.fc_k(kk), core.fc_v(vv)),
+            keys, values, core.h, core.d_k, core.d_v,
+        )
+
+    def run_layer_step(self, bundle: dict, step_bias, max_decode_len: int):
+        """Run the whole-decoder-layer megakernel through this MHA's decode
+        cache (the cache variables live here, so the call must too)."""
+        return self.kv_cache(None, None, step_bias, max_decode_len, fused=bundle)
+
+    def supports_fused_decode(self) -> bool:
+        core = self.attention
+        return (
+            isinstance(core, ScaledDotProductAttention)
+            and not self.use_aoa
+            and core.d_k == core.d_v
+        )
+
+    def _fused_decode_mode(self, core, queries, train: bool) -> Optional[bool]:
+        """None (keep XLA) or the kernel's interpret flag.  The decode-step
+        megakernel fuses the wrapper's residual LayerNorm, so it only
+        engages for the single-token, no-dropout decode shape."""
+        from ...ops.decode_step import decode_kernel_mode
+
+        mode = decode_kernel_mode()
+        if (
+            mode == "off"
+            or train
+            or queries.shape[1] != 1
+            or not isinstance(core, ScaledDotProductAttention)
+            or core.d_k != core.d_v
+        ):
+            return None
+        return mode == "interpret"
 
     def _decode_step(
         self,
@@ -433,14 +543,20 @@ class MultiHeadAttention(nn.Module):
         values: jnp.ndarray,
         attention_bias: Optional[jnp.ndarray],
         max_decode_len: int,
+        train: bool = False,
         **kwargs,
-    ) -> jnp.ndarray:
+    ):
         """One-token decode: write the step's projected K/V into a
-        static-shape cache and attend over the valid prefix.
+        static-shape packed cache and attend over the valid prefix.
 
         `attention_bias` here is the (bs,1,1,1) padding bias of the *current*
         token (the reference appends per-step masks to
         running_mask_self_attention, decoders.py:646-648 — same semantics).
+
+        Returns (out, post_ln_done): the megakernel path fuses the residual
+        LayerNorm (ops/decode_step.fused_self_attention_step — projections,
+        ring-append, attend, out-proj, LN in ONE op); the XLA fallback
+        returns the pre-LN attention output.
         """
         if not isinstance(self.attention, ScaledDotProductAttention):
             raise NotImplementedError(
@@ -449,13 +565,108 @@ class MultiHeadAttention(nn.Module):
         assert max_decode_len > 0, "max_decode_len must be set in decode mode"
         core = self.attention
         bs = queries.shape[0]
+        hd = core.h * core.d_k
+        import math
 
-        k_new, v_new = core.project_kv(keys, values)  # (bs,h,1,dk/dv)
         step_bias = (
             attention_bias
             if attention_bias is not None
             else jnp.zeros((bs, 1, 1, 1), jnp.float32)
         )
-        k_all, v_all, bias = self.kv_cache(k_new, v_new, step_bias, max_decode_len)
+
+        interpret = self._fused_decode_mode(core, queries, train)
+        if interpret is not None:
+            from ...ops.decode_step import (
+                decode_kernel_parts,
+                self_attention_step_viable,
+            )
+
+            if "self" in decode_kernel_parts() and self_attention_step_viable(
+                bs, max_decode_len, hd
+            ) is not None:
+                fused = {
+                    "x": queries[:, 0, :],
+                    "self_w": self.fused_weights(),
+                    "scale": 1.0 / math.sqrt(core.d_k),
+                    "h": core.h,
+                    "interpret": interpret,
+                }
+                y = self.kv_cache(
+                    None, None, step_bias, max_decode_len, fused=fused
+                )
+                return y[:, None, :], True
+
+        k_new = core.fc_k(keys)  # (bs, 1, h*dk) packed
+        v_new = core.fc_v(values)
+        k_all, v_all, bias = self.kv_cache(
+            k_new, v_new, step_bias, max_decode_len
+        )
+        k_h = k_all.reshape(bs, max_decode_len, core.h, core.d_k).transpose(
+            0, 2, 1, 3
+        )
+        v_h = v_all.reshape(bs, max_decode_len, core.h, core.d_v).transpose(
+            0, 2, 1, 3
+        )
         q = core.project_q(queries)
-        return core.attend(q, k_all, v_all, bias)
+        return core.attend(q, k_h, v_h, bias), False
+
+    def _cross_decode_step(
+        self,
+        queries: jnp.ndarray,
+        keys: jnp.ndarray,
+        values: jnp.ndarray,
+        attention_bias: Optional[jnp.ndarray],
+        train: bool = False,
+    ):
+        """Cross-attention during decode: keys/values are the constant
+        encoder stream — projected ONCE into a packed cache and reused
+        every step.  The megakernel path fuses q-proj + attend + out-proj +
+        residual LayerNorm (ops/decode_step.fused_cross_attention_step)."""
+        core = self.attention
+        bs, sk = keys.shape[0], keys.shape[1]
+
+        def packed_project(kk, vv):
+            return core.fc_k(kk), core.fc_v(vv)
+
+        k, v = self.enc_kv_cache(
+            packed_project, keys, values, core.h, core.d_k, core.d_v
+        )
+
+        interpret = self._fused_decode_mode(core, queries, train)
+        if interpret is not None:
+            from ...ops.decode_step import (
+                cross_attention_step_viable,
+                decode_kernel_parts,
+                fused_cross_attention_step,
+            )
+
+            hd = core.h * core.d_k
+            if "cross" in decode_kernel_parts() and cross_attention_step_viable(
+                bs, sk, hd
+            ) is not None:
+                import math
+
+                eb = (
+                    attention_bias[:, 0, 0, :]
+                    if attention_bias is not None
+                    else jnp.zeros((bs, sk), jnp.float32)
+                )
+                if eb.shape[0] != bs:
+                    eb = jnp.broadcast_to(eb, (bs, sk))
+                params_of = lambda m: m.variables["params"]  # noqa: E731
+                ln = params_of(self.layer_norm)
+                y = fused_cross_attention_step(
+                    queries[:, 0, :],
+                    params_of(core.fc_q)["kernel"], params_of(core.fc_q)["bias"],
+                    params_of(core.fc_o)["kernel"], params_of(core.fc_o)["bias"],
+                    ln["scale"], ln["bias"],
+                    k, v, eb,
+                    1.0 / math.sqrt(core.d_k), core.h,
+                    interpret=interpret,
+                )
+                return y[:, None, :], True
+
+        k_h = k.reshape(bs, sk, core.h, core.d_k).transpose(0, 2, 1, 3)
+        v_h = v.reshape(bs, sk, core.h, core.d_v).transpose(0, 2, 1, 3)
+        out = core.attend(core.project_q(queries), k_h, v_h, attention_bias)
+        return out, False

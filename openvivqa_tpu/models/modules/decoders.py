@@ -57,6 +57,13 @@ class DecoderLayer(nn.Module):
         max_decode_len: int = 0,
         **kwargs,
     ):
+        if decode and not kwargs:
+            fused = self._fused_layer_step(
+                queries, keys, values, self_attention_bias,
+                enc_attention_bias, train, max_decode_len,
+            )
+            if fused is not None:
+                return fused
         self_att = self.self_attn(
             queries, queries, queries,
             attention_bias=self_attention_bias,
@@ -67,7 +74,108 @@ class DecoderLayer(nn.Module):
             attention_bias=enc_attention_bias, train=train, decode=decode,
             **kwargs,
         )
-        return self.pwff(enc_att, train=train)
+        return self.pwff(enc_att, train=train, decode=decode)
+
+    def _fused_layer_step(
+        self, queries, keys, values, self_bias, enc_bias, train, max_decode_len
+    ):
+        """The whole-layer decode megakernel: self-attn step + cross-attn +
+        FFN in ONE pallas call (ops/decode_step.fused_decoder_layer_step).
+        Returns None when the configuration cannot route through it."""
+        from ...ops.decode_step import (
+            decode_kernel_mode,
+            decode_kernel_parts,
+            decoder_layer_step_viable,
+        )
+
+        mode = decode_kernel_mode()
+        if (
+            mode == "off"
+            or "layer" not in decode_kernel_parts()
+            or train
+            or queries.ndim != 3
+            or queries.shape[1] != 1
+            or max_decode_len <= 0
+        ):
+            return None
+        sa, ca = self.self_attn, self.enc_attn
+        if not (
+            sa.can_be_stateful
+            and not ca.can_be_stateful
+            and sa.supports_fused_decode()
+            and ca.supports_fused_decode()
+        ):
+            return None
+        core, ccore = sa.attention, ca.attention
+        if ccore.h != core.h or ccore.d_k != core.d_k:
+            return None
+
+        bs = queries.shape[0]
+        hd = core.h * core.d_k
+        ek, ev = ca.fill_enc_cache(keys, values)
+        sk = ek.shape[1]
+        d_ff = int(self.pwff.config.D_FF)
+        weight_bytes = 4 if mode == "interpret" else 2
+        if (
+            decoder_layer_step_viable(
+                bs, max_decode_len, sk, hd, d_ff, weight_bytes
+            )
+            is None
+        ):
+            return None
+
+        import math
+
+        interpret = mode == "interpret"
+        cast = (
+            (lambda w: w)
+            if interpret
+            else (lambda w: w.astype(jnp.bfloat16))
+        )
+
+        def cast_mats(wdict, mat_keys):
+            return {
+                k: (cast(v) if k in mat_keys else v) for k, v in wdict.items()
+            }
+
+        self_w = cast_mats(sa.fused_weights(), ("wq", "wk", "wv", "wo"))
+        cross_full = ca.fused_weights()
+        cross_w = cast_mats(
+            {
+                k: cross_full[k]
+                for k in ("wq", "bq", "wo", "bo", "ln_scale", "ln_bias")
+            },
+            ("wq", "wo"),
+        )
+        ffn_w = cast_mats(self.pwff.fused_weights(), ("w1", "w2"))
+
+        ebias = (
+            enc_bias[:, 0, 0, :]
+            if enc_bias is not None
+            else jnp.zeros((bs, sk), jnp.float32)
+        )
+        if ebias.shape[0] != bs:
+            ebias = jnp.broadcast_to(ebias, (bs, sk))
+        step_bias = (
+            self_bias
+            if self_bias is not None
+            else jnp.zeros((bs, 1, 1, 1), jnp.float32)
+        )
+        bundle = {
+            "kind": "layer",
+            "x": queries[:, 0, :],
+            "self_w": self_w,
+            "cross_w": cross_w,
+            "ffn_w": ffn_w,
+            "enc_k": cast(ek),
+            "enc_v": cast(ev),
+            "enc_bias": ebias,
+            "scale": 1.0 / math.sqrt(core.d_k),
+            "h": core.h,
+            "interpret": interpret,
+        }
+        y = sa.run_layer_step(bundle, step_bias, max_decode_len)
+        return y[:, None, :]
 
 
 @META_DECODER.register()
