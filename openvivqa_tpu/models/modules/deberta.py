@@ -109,9 +109,10 @@ class DisentangledSelfAttention(nn.Module):
         def heads(x):
             return x.reshape(x.shape[0], x.shape[1], self.num_heads, head_dim)
 
-        q = heads(query_proj(hidden_states))
-        k = heads(key_proj(hidden_states))
-        v = heads(value_proj(hidden_states))
+        q_packed = query_proj(hidden_states)
+        k_packed = key_proj(hidden_states)
+        v_packed = value_proj(hidden_states)
+        q, k, v = heads(q_packed), heads(k_packed), heads(v_packed)
 
         # HF counts pos_att_type entries even when relative_attention is off
         scale_factor = 1
@@ -121,9 +122,9 @@ class DisentangledSelfAttention(nn.Module):
             scale_factor += 1
         scale = math.sqrt(head_dim * scale_factor)
 
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-        ) / scale
+        # disentangled c2p/p2c terms accumulate into a per-head bias so the
+        # main attend can route through the 2-bias packed kernel
+        rel_bias = jnp.zeros((1, 1, 1, 1), jnp.float32)
 
         if self.relative_attention and rel_embeddings is not None:
             rel_emb = nn.Dropout(rate=self.dropout)(
@@ -154,11 +155,19 @@ class DisentangledSelfAttention(nn.Module):
                 c2p_pos = jnp.clip(
                     relative_pos + self.att_span, 0, self.att_span * 2 - 1
                 )
-                idx = jnp.broadcast_to(
-                    c2p_pos[None, None],
-                    (bs, self.num_heads, seq_len, seq_len),
-                )
-                scores = scores + jnp.take_along_axis(c2p_att, idx, axis=-1) / scale
+                # gather along the span axis as a one-hot matmul: the
+                # (b,h,q,k)-sized take_along_axis runs on the TPU scalar
+                # core and dominated the whole stack (31 ms for 4 layers at
+                # 197 tokens); the position one-hot depends only on (q,k)
+                # so it is a shared constant.  HIGHEST keeps the gather
+                # bit-exact (CLAUDE.md measured fact).
+                c2p_onehot = jax.nn.one_hot(
+                    c2p_pos, self.att_span * 2, dtype=jnp.float32
+                )  # (q, k, 2S)
+                rel_bias = rel_bias + jnp.einsum(
+                    "bhqs,qks->bhqk", c2p_att, c2p_onehot,
+                    precision=jax.lax.Precision.HIGHEST,
+                ) / scale
 
             if "p2c" in self.pos_att_type:
                 p2c_att = jnp.einsum(
@@ -168,13 +177,45 @@ class DisentangledSelfAttention(nn.Module):
                 p2c_pos = jnp.clip(
                     -relative_pos + self.att_span, 0, self.att_span * 2 - 1
                 )
-                idx = jnp.broadcast_to(
-                    p2c_pos[None, None],
-                    (bs, self.num_heads, seq_len, seq_len),
-                )
-                gathered = jnp.take_along_axis(p2c_att, idx, axis=-1)
-                scores = scores + jnp.swapaxes(gathered, -1, -2) / scale
+                # the swapaxes(take_along_axis(...)) pattern as one matmul:
+                # out[b,h,q,k] = p2c_att[b,h,k,p2c_pos[k,q]] (see c2p note)
+                p2c_onehot = jax.nn.one_hot(
+                    p2c_pos, self.att_span * 2, dtype=jnp.float32
+                )  # (k, q, 2S) — p2c_pos is indexed [k, q] here
+                rel_bias = rel_bias + jnp.einsum(
+                    "bhks,kqs->bhqk", p2c_att, p2c_onehot,
+                    precision=jax.lax.Precision.HIGHEST,
+                ) / scale
 
+        from ...ops.fused_attention import (
+            fused_attention_packed_2bias,
+            packed_2bias_viable,
+            use_fused_attention,
+        )
+
+        # neutral at wrapper shapes (see t5.py note) — the measured DeBERTa
+        # win was the one-hot gather rewrite above (31 ms -> 1.15 ms for 4
+        # layers at 197 tokens); the kernel stays behind the force flag
+        if (
+            not train
+            and use_fused_attention() is True
+            and packed_2bias_viable(
+                seq_len, seq_len, self.hidden_size, self.num_heads
+            )
+        ):
+            head_bias = jnp.broadcast_to(
+                rel_bias, (bs, self.num_heads, seq_len, seq_len)
+            )
+            context = fused_attention_packed_2bias(
+                q_packed, k_packed, v_packed, attention_bias, head_bias,
+                1.0 / scale, self.num_heads,
+            )
+            return context
+
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / scale
+        scores = scores + rel_bias
         if attention_bias is not None:
             scores = scores + attention_bias
         weights = jax.nn.softmax(scores, axis=-1).astype(hidden_states.dtype)

@@ -111,14 +111,38 @@ class T5Attention(nn.Module):
     ) -> jnp.ndarray:
         inner = self.num_heads * self.d_kv
 
+        q_packed = nn.Dense(inner, use_bias=False, name="q")(hidden_states)
+        k_packed = nn.Dense(inner, use_bias=False, name="k")(hidden_states)
+        v_packed = nn.Dense(inner, use_bias=False, name="v")(hidden_states)
+
+        sq, sk = q_packed.shape[1], k_packed.shape[1]
+        from ...ops.fused_attention import (
+            fused_attention_packed_2bias,
+            packed_2bias_viable,
+            use_fused_attention,
+        )
+
+        # per-head relative-position bias CAN route through the 2-bias
+        # packed kernel, but it measured neutral at the wrapper shapes
+        # (1.06x/0.98x across runs at 256 keys on v5e — the per-head bias
+        # blocks double the VMEM traffic the kernel saves), so it engages
+        # only under OPENVIVQA_FUSED_ATTENTION=1.  NO sqrt(d_kv) scaling
+        # either way (T5 folds it into init).
+        if (
+            not train
+            and use_fused_attention() is True
+            and packed_2bias_viable(sq, sk, inner, self.num_heads)
+        ):
+            context = fused_attention_packed_2bias(
+                q_packed, k_packed, v_packed, None, position_bias,
+                1.0, self.num_heads,
+            )
+            return nn.Dense(self.d_model, use_bias=False, name="o")(context)
+
         def heads(x):
             return x.reshape(x.shape[0], x.shape[1], self.num_heads, self.d_kv)
 
-        q = heads(nn.Dense(inner, use_bias=False, name="q")(hidden_states))
-        k = heads(nn.Dense(inner, use_bias=False, name="k")(hidden_states))
-        v = heads(nn.Dense(inner, use_bias=False, name="v")(hidden_states))
-
-        # NO sqrt(d_kv) scaling (T5 folds it into init)
+        q, k, v = heads(q_packed), heads(k_packed), heads(v_packed)
         scores = jnp.einsum(
             "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
         )

@@ -315,6 +315,174 @@ fused_attention_packed.defvjp(_packed_fwd, _packed_bwd)
 
 
 # ---------------------------------------------------------------------------
+# packed kernel with an ADDITIONAL per-head bias (T5 relative-position /
+# DeBERTa disentangled terms) — VERDICT r2 item 5: these frozen-backbone
+# stacks run at 197-256 keys, squarely in the regime where the BERT-layout
+# packed kernel already wins 1.38-1.46x, but their biases are per-head so
+# they could not route through the head-shared bias operand.
+# ---------------------------------------------------------------------------
+def _packed_2bias_kernel(
+    q_ref, k_ref, v_ref, bias_ref, hbias_ref, out_ref, *, scale, h, d
+):
+    bias = bias_ref[0].astype(jnp.float32)  # (bq, Sk), bq in {1, qblk}
+    for i in range(h):
+        q = q_ref[0, :, i * d:(i + 1) * d].astype(jnp.bfloat16)
+        k = k_ref[0, :, i * d:(i + 1) * d].astype(jnp.bfloat16)
+        v = v_ref[0, :, i * d:(i + 1) * d].astype(jnp.bfloat16)
+        logits = (
+            jax.lax.dot_general(
+                q, k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            * scale
+            + bias
+            + hbias_ref[0, i].astype(jnp.float32)
+        )
+        row_max = jnp.max(logits, axis=-1, keepdims=True)
+        unnormalised = jnp.exp(logits - row_max)
+        weights = (
+            unnormalised / jnp.sum(unnormalised, axis=-1, keepdims=True)
+        ).astype(jnp.bfloat16)
+        out = jax.lax.dot_general(
+            weights, v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out_ref[0, :, i * d:(i + 1) * d] = out.astype(out_ref.dtype)
+
+
+def plan_q_block_2bias(sq: int, sk: int, hd: int, h: int) -> Optional[int]:
+    """q-block plan with the (h, qblk, sk) per-head bias block added."""
+    candidates = [sq] + [
+        b for b in (512, 384, 256, 128, 64, 32, 16, 8) if sq % b == 0
+    ]
+    for qblk in candidates:
+        kv_bytes = 2 * sk * hd * 4 * 2
+        q_bytes = 2 * qblk * hd * 4 * 2
+        bias_bytes = qblk * sk * 4 * 2
+        hbias_bytes = h * qblk * sk * 4 * 2
+        logits_bytes = 2 * qblk * sk * 4
+        if (
+            kv_bytes + q_bytes + bias_bytes + hbias_bytes + logits_bytes
+            <= _VMEM_BUDGET
+        ):
+            return qblk
+    return None
+
+
+def packed_2bias_viable(sq: int, sk: int, hd: int, num_heads: int) -> bool:
+    return hd % num_heads == 0 and plan_q_block_2bias(sq, sk, hd, num_heads) is not None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "num_heads", "q_block")
+)
+def _packed_2bias_call(q, k, v, biasf, hbias, scale, num_heads, q_block):
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    d = hd // num_heads
+    bq = biasf.shape[1]
+    bias_qblk = q_block if bq > 1 else 1
+    nq = sq // q_block
+    hb_b = hbias.shape[0]  # 1 (batch-shared table) or b (per-batch terms)
+
+    return pl.pallas_call(
+        functools.partial(
+            _packed_2bias_kernel, scale=scale, h=num_heads, d=d
+        ),
+        grid=(b, nq),
+        in_specs=[
+            pl.BlockSpec((1, q_block, hd), lambda bi, qi: (bi, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, hd), lambda bi, qi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, bias_qblk, sk),
+                (lambda bi, qi: (bi, qi, 0))
+                if bias_qblk > 1
+                else (lambda bi, qi: (bi, 0, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, num_heads, q_block, sk),
+                (lambda bi, qi: (bi, 0, qi, 0))
+                if hb_b > 1
+                else (lambda bi, qi: (0, 0, qi, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, q_block, hd), lambda bi, qi: (bi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, sq, hd), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * num_heads * sq * sk * d,
+            bytes_accessed=(q.size + k.size + v.size + q.size + hbias.size) * 4,
+            transcendentals=b * num_heads * sq * sk,
+        ),
+    )(q, k, v, biasf, hbias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_attention_packed_2bias(q, k, v, bias, head_bias, scale: float, num_heads: int):
+    """Packed attention with BOTH a head-shared bias (b,1,*,Sk or None) and
+    a per-head bias (B,h,Sq,Sk) with B in {1, b} — e.g. T5's relative
+    position table (batch-shared) or DeBERTa's disentangled c2p+p2c terms
+    (per-batch).  q/k/v in (b, S, h*d) packed layout."""
+    return _fused_packed_2bias_impl(q, k, v, bias, head_bias, scale, num_heads)
+
+
+def _fused_packed_2bias_impl(q, k, v, bias, head_bias, scale, num_heads):
+    b, sq, hd = q.shape
+    sk = k.shape[1]
+    biasf, _ = _normalise_bias_packed(bias, b, sq, sk)
+    if biasf.shape[0] == 1 and b > 1:
+        biasf = jnp.broadcast_to(biasf, (b,) + biasf.shape[1:])
+    head_bias = head_bias.astype(jnp.float32)
+    if head_bias.shape[2] != sq or head_bias.shape[3] != sk:
+        head_bias = jnp.broadcast_to(
+            head_bias, head_bias.shape[:2] + (sq, sk)
+        )
+    q_block = plan_q_block_2bias(sq, sk, hd, num_heads)
+    if q_block is None:
+        raise ValueError(
+            f"no viable q-block for 2-bias packed attention (sq={sq}, "
+            f"sk={sk}, hd={hd}, h={num_heads}) — guard with packed_2bias_viable"
+        )
+    return _packed_2bias_call(q, k, v, biasf, head_bias, scale, num_heads, q_block)
+
+
+def _packed_2bias_fwd(q, k, v, bias, head_bias, scale, num_heads):
+    out = _fused_packed_2bias_impl(q, k, v, bias, head_bias, scale, num_heads)
+    return out, (q, k, v, bias, head_bias)
+
+
+def _packed_2bias_bwd(scale, num_heads, residuals, g):
+    q, k, v, bias, head_bias = residuals
+    combined = head_bias if bias is None else bias + head_bias
+    dq, dk, dv, dcombined = _packed_bwd(
+        scale, num_heads, (q, k, v, combined), g
+    )
+    dbias = None
+    dhead = dcombined
+    if bias is not None:
+        dbias = dcombined
+        for axis, (bdim, ldim) in enumerate(zip(bias.shape, dcombined.shape)):
+            if bdim == 1 and ldim != 1:
+                dbias = jnp.sum(dbias, axis=axis, keepdims=True)
+        dbias = dbias.astype(bias.dtype)
+    for axis, (bdim, ldim) in enumerate(zip(head_bias.shape, dcombined.shape)):
+        if bdim == 1 and ldim != 1:
+            dhead = jnp.sum(dhead, axis=axis, keepdims=True)
+    return dq, dk, dv, dbias, dhead.astype(head_bias.dtype)
+
+
+fused_attention_packed_2bias.defvjp(_packed_2bias_fwd, _packed_2bias_bwd)
+
+
+# ---------------------------------------------------------------------------
 # packed kernel with in-kernel attention-weights dropout (training path)
 # ---------------------------------------------------------------------------
 # The dropout mask is generated with the TPU PRNG from a per-(batch,

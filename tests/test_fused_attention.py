@@ -255,3 +255,69 @@ def test_dropout_plan_shares_fwd_bwd_partition():
     assert plan_dropout_q_block(384, 384, 768) is not None
     assert dropout_attention_viable(512, 512, 768, 8)
     assert not dropout_attention_viable(4096, 4096, 768, 8)
+
+
+@pytest.mark.parametrize("head_bias_batch", [1, 2])
+def test_packed_2bias_matches_xla(head_bias_batch):
+    """The per-head-bias packed kernel (T5 relative-position / DeBERTa
+    disentangled terms) reproduces the XLA reference with BOTH biases."""
+    from openvivqa_tpu.ops.fused_attention import fused_attention_packed_2bias
+
+    b, h, sq, sk, d = 2, 4, 16, 16, 8
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    shared = jnp.asarray(
+        (rng.random((b, 1, 1, sk)) < 0.2).astype(np.float32) * MASK_VALUE
+    )
+    head_bias = jnp.asarray(
+        rng.normal(size=(head_bias_batch, h, sq, sk)).astype(np.float32)
+    )
+    scale = 1.0 / np.sqrt(d)
+
+    def xla_ref():
+        qh = q.reshape(b, sq, h, d)
+        kh = k.reshape(b, sk, h, d)
+        vh = v.reshape(b, sk, h, d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+        logits = logits + shared + head_bias
+        w = jax.nn.softmax(logits, -1)
+        return jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, sq, h * d)
+
+    with pltpu.force_tpu_interpret_mode():
+        ours = fused_attention_packed_2bias(q, k, v, shared, head_bias, scale, h)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(xla_ref()), atol=4e-2
+    )
+
+
+def test_packed_2bias_gradients():
+    from openvivqa_tpu.ops.fused_attention import fused_attention_packed_2bias
+
+    b, h, sq, sk, d = 1, 2, 8, 8, 8
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    head_bias = jnp.asarray(rng.normal(size=(1, h, sq, sk)).astype(np.float32))
+    scale = 1.0 / np.sqrt(d)
+
+    def loss_fused(q, k, v, hb):
+        with pltpu.force_tpu_interpret_mode():
+            out = fused_attention_packed_2bias(q, k, v, None, hb, scale, h)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v, hb):
+        qh = q.reshape(b, sq, h, d)
+        kh = k.reshape(b, sk, h, d)
+        vh = v.reshape(b, sk, h, d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale + hb
+        w = jax.nn.softmax(logits, -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, sq, h * d)
+        return jnp.sum(out * jnp.cos(out))
+
+    got = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, head_bias)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, head_bias)
+    for g, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=5e-2)
