@@ -226,6 +226,12 @@ def worker():
     tx = optax.adam(learning_rate=1e-4, b1=0.9, b2=0.98)
     opt_state = tx.init(params)
 
+    # production dropout keys (base_task.py): TPU hardware rbg generator —
+    # threefry mask generation alone measured 1.78 ms/step at these dims
+    rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+    train_key = jax.random.key(7, impl=rng_impl)
+    mmt_key = jax.random.key(3, impl=rng_impl)
+
     def loss_fn(p, feats, dropout_rng):
         out = model.apply(
             {"params": p},
@@ -241,7 +247,7 @@ def worker():
         def body(carry, i):
             p, o, signal = carry
             feats = batch["region_features"] + signal
-            rng_i = jax.random.fold_in(jax.random.PRNGKey(7), i)
+            rng_i = jax.random.fold_in(train_key, i)
             loss, grads = jax.value_and_grad(loss_fn)(p, feats, rng_i)
             updates, o = tx.update(grads, o, p)
             p = optax.apply_updates(p, updates)
@@ -312,7 +318,7 @@ def worker():
             def body(c, i):
                 p, o, s = c
                 l, grads = jax.value_and_grad(mmt_loss)(
-                    p, x + s, jax.random.fold_in(jax.random.PRNGKey(3), i)
+                    p, x + s, jax.random.fold_in(mmt_key, i)
                 )
                 updates, o = mtx.update(grads, o, p)
                 return (optax.apply_updates(p, updates), o, l * 1e-12), None
