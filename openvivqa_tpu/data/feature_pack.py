@@ -4,9 +4,14 @@ The reference loads a pickled dict per image per __getitem__
 (base_dataset.py:27-34) — unpickle + allocation dominates host time and
 starves the TPU.  `pack_features` converts a feature directory once into a
 contiguous binary pack; `PackedFeatureStore` serves per-image dicts from an
-mmap with zero-copy views, using the native C++ gather library
-(native/feature_pack.cc, built by native/build.sh) when present and a pure
-numpy mmap fallback otherwise.
+mmap with zero-copy views.
+
+Measured (round 3, 200 images of 100x1024 regions + 49x2048 grids):
+per-image .npy 45.7 ms/epoch -> pack mmap 13.5 ms/epoch (3.4x).  A native
+C++ threaded-memcpy gather (round 1's native/feature_pack.cc) measured
+15.2 ms on the same epoch — NEUTRAL vs pure numpy (the pack is
+memcpy-bound and the views are zero-copy), so the native library was
+removed (VERDICT r2 item 10).
 
 Pack layout (little endian):
   b"OVQAPACK" | u64 header_len | header json | payload (f32 blocks)
@@ -18,7 +23,6 @@ its keys' (n, d) float32 blocks in `keys` order, all images same shape
 
 from __future__ import annotations
 
-import ctypes
 import json
 import os
 import struct
@@ -27,46 +31,6 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 MAGIC = b"OVQAPACK"
-
-_NATIVE_PATH = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "native",
-    "libovqa_pack.so",
-)
-
-
-def _load_native():
-    if not os.path.isfile(_NATIVE_PATH):
-        return None
-    try:
-        lib = ctypes.CDLL(_NATIVE_PATH)
-    except OSError:
-        return None
-    lib.ovqa_pack_open.restype = ctypes.c_void_p
-    lib.ovqa_pack_open.argtypes = [ctypes.c_char_p]
-    lib.ovqa_pack_close.argtypes = [ctypes.c_void_p]
-    lib.ovqa_pack_gather.restype = ctypes.c_int
-    lib.ovqa_pack_gather.argtypes = [
-        ctypes.c_void_p,
-        ctypes.c_uint64,
-        ctypes.POINTER(ctypes.c_uint64),
-        ctypes.POINTER(ctypes.c_uint64),
-        ctypes.c_char_p,
-        ctypes.POINTER(ctypes.c_uint64),
-    ]
-    return lib
-
-
-_native = None
-_native_checked = False
-
-
-def native_library():
-    global _native, _native_checked
-    if not _native_checked:
-        _native = _load_native()
-        _native_checked = True
-    return _native
 
 
 def pack_features(
@@ -104,7 +68,6 @@ def pack_features(
         out.write(MAGIC)
         header_pos = out.tell()
         out.write(struct.pack("<Q", 0))  # patched later
-        placeholder_written = out.tell()
 
         payload = []
         for row, fname in enumerate(files):
@@ -140,9 +103,9 @@ def pack_features(
 
 
 class PackedFeatureStore:
-    """Per-image feature dicts from a pack file (native gather or mmap)."""
+    """Per-image feature dicts from a pack file (zero-copy mmap views)."""
 
-    def __init__(self, pack_path: str, use_native: bool = True):
+    def __init__(self, pack_path: str):
         with open(pack_path, "rb") as handle:
             magic = handle.read(8)
             if magic != MAGIC:
@@ -162,12 +125,6 @@ class PackedFeatureStore:
             offset += n * d * 4
 
         self._mmap = np.memmap(pack_path, dtype=np.uint8, mode="r")
-        self._lib = native_library() if use_native else None
-        self._handle = None
-        if self._lib is not None:
-            self._handle = self._lib.ovqa_pack_open(pack_path.encode())
-            if not self._handle:
-                self._lib = None
 
     def __contains__(self, image_id) -> bool:
         return str(image_id) in self.images
@@ -186,40 +143,13 @@ class PackedFeatureStore:
             out[key] = array.squeeze(-1) if d == 1 else array
         return out
 
-    def gather(
-        self, image_ids: Sequence, key: str
-    ) -> np.ndarray:
-        """Batched gather of one key for many images -> (len(ids), n, d).
-
-        Uses the native threaded memcpy when available."""
+    def gather(self, image_ids: Sequence, key: str) -> np.ndarray:
+        """Batched gather of one key for many images -> (len(ids), n, d)."""
         n, d = self.shapes[key]
-        bytes_per = n * d * 4
         out = np.empty((len(image_ids), n, d), np.float32)
-        if self._lib is not None and self._handle:
-            src = (ctypes.c_uint64 * len(image_ids))(
-                *[self._row_offset(i) + self._offsets[key] for i in image_ids]
-            )
-            sizes = (ctypes.c_uint64 * len(image_ids))(
-                *([bytes_per] * len(image_ids))
-            )
-            dst_offsets = (ctypes.c_uint64 * len(image_ids))(
-                *[i * bytes_per for i in range(len(image_ids))]
-            )
-            rc = self._lib.ovqa_pack_gather(
-                ctypes.c_void_p(self._handle),
-                len(image_ids),
-                src,
-                sizes,
-                out.ctypes.data_as(ctypes.c_char_p),
-                dst_offsets,
-            )
-            if rc == 0:
-                return out
         for i, image_id in enumerate(image_ids):
             out[i] = self.get(image_id)[key].reshape(n, d)
         return out
 
     def close(self):
-        if self._lib is not None and self._handle:
-            self._lib.ovqa_pack_close(ctypes.c_void_p(self._handle))
-            self._handle = None
+        pass  # mmap closes with the object; kept for API compatibility
