@@ -368,7 +368,7 @@ def worker():
             carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
             return carry
 
-        n_beam = 30
+        n_beam = 60  # longer chain amortises dispatch jitter over the tunnel
         float(beam_chain(beam_vars["params"], beam_batch, n_beam))
         start = time.perf_counter()
         float(beam_chain(beam_vars["params"], beam_batch, n_beam))

@@ -130,12 +130,16 @@ class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
 
         from ...ops.fused_attention import (
             fused_attention_packed,
+            fused_attention_packed_streamed,
             packed_attention_viable,
             should_use_fused,
+            streamed_attention_viable,
         )
 
         # packed Pallas path on the raw projections (no head-split
-        # transposes) for long streams; see ops/fused_attention.py
+        # transposes) for long streams; when the full-key blocks exceed
+        # VMEM (>~640 keys at hd 768) the flash-style streaming variant
+        # takes over.  See ops/fused_attention.py
         if (
             self.d_k == self.d_v
             and should_use_fused(queries.shape[1], keys.shape[1], self.d_k)
@@ -143,15 +147,21 @@ class ScaledDotProductAttention(nn.Module, _ProjectionMixin):
                 attention_bias is None
                 or (attention_bias.ndim == 4 and attention_bias.shape[1] == 1)
             )
-            and packed_attention_viable(
-                queries.shape[1], keys.shape[1], self.h * self.d_k, self.h
-            )
         ):
-            out = fused_attention_packed(
-                self.fc_q(queries), self.fc_k(keys), self.fc_v(values),
-                attention_bias, 1.0 / math.sqrt(self.d_k), self.h,
-            )
-            return self.fc_o(out)
+            sq, sk = queries.shape[1], keys.shape[1]
+            hd = self.h * self.d_k
+            if packed_attention_viable(sq, sk, hd, self.h):
+                out = fused_attention_packed(
+                    self.fc_q(queries), self.fc_k(keys), self.fc_v(values),
+                    attention_bias, 1.0 / math.sqrt(self.d_k), self.h,
+                )
+                return self.fc_o(out)
+            if streamed_attention_viable(sq, sk, hd, self.h):
+                out = fused_attention_packed_streamed(
+                    self.fc_q(queries), self.fc_k(keys), self.fc_v(values),
+                    attention_bias, 1.0 / math.sqrt(self.d_k), self.h,
+                )
+                return self.fc_o(out)
         q = self.project_q(queries)
         k, v = self.project_kv(keys, values)
         return self.attend(q, k, v, attention_bias)

@@ -321,3 +321,60 @@ def test_packed_2bias_gradients():
     want = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, head_bias)
     for g, w_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w_), atol=5e-2)
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,sk,d,bias_shape",
+    [
+        (1, 2, 32, 128, 8, None),
+        (2, 2, 16, 192, 8, (2, 1, 1, 192)),
+        (1, 4, 64, 256, 16, (1, 1, 64, 256)),
+    ],
+)
+def test_streamed_attention_matches_xla(b, h, sq, sk, d, bias_shape):
+    """Online-softmax key streaming reproduces the one-shot softmax."""
+    from openvivqa_tpu.ops.fused_attention import (
+        fused_attention_packed_streamed,
+        plan_streamed_blocks,
+    )
+
+    assert plan_streamed_blocks(sq, sk, h * d, h) is not None
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    bias = None
+    if bias_shape is not None:
+        mask = rng.random(bias_shape) < 0.2
+        bias = jnp.asarray(mask.astype(np.float32) * MASK_VALUE)
+    scale = 1.0 / np.sqrt(d)
+
+    def xla_ref():
+        qh = q.reshape(b, sq, h, d)
+        kh = k.reshape(b, sk, h, d)
+        vh = v.reshape(b, sk, h, d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) * scale
+        if bias is not None:
+            logits = logits + bias
+        w = jax.nn.softmax(logits, -1)
+        return jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, sq, h * d)
+
+    with pltpu.force_tpu_interpret_mode():
+        ours = fused_attention_packed_streamed(q, k, v, bias, scale, h)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(xla_ref()), atol=4e-2
+    )
+
+
+def test_streamed_engages_beyond_packed_vmem():
+    """The regime the streaming kernel exists for: full-key blocks too big
+    for the packed plan, streaming plan still viable."""
+    from openvivqa_tpu.ops.fused_attention import (
+        packed_attention_viable,
+        streamed_attention_viable,
+    )
+
+    sq = sk = 1024
+    hd, h = 768, 8
+    assert not packed_attention_viable(sq, sk, hd, h)
+    assert streamed_attention_viable(sq, sk, hd, h)
