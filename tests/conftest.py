@@ -47,6 +47,38 @@ _REFERENCE_TOPLEVEL = (
 )
 
 
+# Multi-minute end-to-end / parity modules (full training loops, 34-config
+# sweeps, torch reference comparisons, subprocess multihost).  Everything
+# else is the fast core.  Quick loop: `pytest tests/ -m "not e2e" -q`;
+# the full suite (default) stays the pre-commit bar.
+_E2E_MODULES = {
+    "test_all_reference_configs",
+    "test_classification_e2e",
+    "test_generative_e2e",
+    "test_vlsp_e2e",
+    "test_mmf_e2e",
+    "test_mmf_classification_e2e",
+    "test_ocr_open_ended_e2e",
+    "test_parity_script_smoke",
+    "test_multihost_smoke",
+    "test_full_model_parity",
+    "test_m4c_variants_parity",
+    "test_mmf_m4c_parity",
+    "test_torch_parity",
+    "test_incremental_m4c",
+    "test_beam_search",
+    "test_task_sharding",
+    "test_scst_protocol",
+    "test_hf_conversion",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _E2E_MODULES:
+            item.add_marker(pytest.mark.e2e)
+
+
 @pytest.fixture(scope="module", autouse=True)
 def _purge_reference_fakes():
     """After every test module, drop reference-namespace modules so fakes
