@@ -10,10 +10,16 @@ program, time a host fetch):
   fwd_loss    — forward + NLL loss (no grad)
   grad        — value_and_grad, no optimizer update
   train       — value_and_grad + Adam update (the 0.21 headline)
+  train_nodrop— train step with dropout disabled end-to-end (mask cost)
   train_nolstm— same but UsualEmbedding instead of LSTMTextEmbedding
                 (isolates the sequential-scan LSTM cost)
 
 Prints one JSON line with samples/sec and MFU for each.
+
+Findings (docs/TRAIN_MFU.md): threefry dropout masks were ~38% of the
+step (regenerated in the backward); the production rbg streams moved the
+full step 14.1 -> 9.4 ms (MFU 0.207 -> 0.295) against a measured
+composite ceiling of ~0.31 at these reference-fixed dims.
 """
 
 import json
@@ -125,10 +131,16 @@ def main():
         tx = optax.adam(1e-4, b1=0.9, b2=0.98)
         opt_state = tx.init(params)
 
-        def loss_fn(p, feats, dropout_rng):
+        # production dropout keys (base_task.py): TPU hardware rbg
+        # generator — threefry mask bits alone measured 1.78 ms/step here
+        rng_impl = "rbg" if jax.default_backend() == "tpu" else "threefry2x32"
+        base_key = jax.random.key(7, impl=rng_impl)
+
+        def loss_fn(p, feats, dropout_rng, train=True):
             out = model.apply(
                 {"params": p}, {**batch, "region_features": feats},
-                train=True, rngs={"dropout": dropout_rng},
+                train=train,
+                rngs={"dropout": dropout_rng} if train else None,
             )
             onehot = jax.nn.one_hot(answers, out.shape[-1], dtype=out.dtype)
             return -jnp.mean(jnp.sum(out * onehot, axis=-1))
@@ -155,7 +167,7 @@ def main():
             def body(c, i):
                 feats = batch["region_features"] + c
                 loss = loss_fn(
-                    params, feats, jax.random.fold_in(jax.random.PRNGKey(7), i)
+                    params, feats, jax.random.fold_in(base_key, i)
                 )
                 return loss * 1e-12, None
 
@@ -170,7 +182,7 @@ def main():
                 p, s = c
                 feats = batch["region_features"] + s
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    p, feats, jax.random.fold_in(jax.random.PRNGKey(7), i)
+                    p, feats, jax.random.fold_in(base_key, i)
                 )
                 # consume grads without an optimizer: tiny scaled add
                 p = jax.tree.map(lambda a, g: a - 1e-20 * g, p, grads)
@@ -187,7 +199,7 @@ def main():
                 p, o, s = c
                 feats = batch["region_features"] + s
                 loss, grads = jax.value_and_grad(loss_fn)(
-                    p, feats, jax.random.fold_in(jax.random.PRNGKey(7), i)
+                    p, feats, jax.random.fold_in(base_key, i)
                 )
                 updates, o = tx.update(grads, o, p)
                 return (optax.apply_updates(p, updates), o, loss * 1e-12), None
@@ -198,6 +210,26 @@ def main():
             return c[2]
 
         variants["train"] = (train_chain, (params, opt_state, batch))
+
+        @partial(jax.jit, static_argnames="n")
+        def train_nodrop_chain(params, opt_state, batch, n):
+            # dropout disabled end-to-end: the train-step ceiling if masks
+            # and mask-apply ops were free
+            def body(c, i):
+                p, o, s = c
+                feats = batch["region_features"] + s
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    p, feats, None, train=False
+                )
+                updates, o = tx.update(grads, o, p)
+                return (optax.apply_updates(p, updates), o, loss * 1e-12), None
+
+            c, _ = jax.lax.scan(
+                body, (params, opt_state, jnp.float32(0.0)), jnp.arange(n)
+            )
+            return c[2]
+
+        variants["train_nodrop"] = (train_nodrop_chain, (params, opt_state, batch))
 
         n = 50
         tag = "lstm" if text_arch == "LSTMTextEmbedding" else "nolstm"
