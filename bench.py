@@ -59,6 +59,7 @@ RESULT_KEYS = (
     "vs_baseline_train",
     "beam_samples_per_sec",
     "mmt_train_samples_per_sec",
+    "mmt_train_mfu",
     "eval_mfu",
     "train_mfu",
     "device_kind",
@@ -329,12 +330,22 @@ def worker():
             return c[2]
 
         n_mmt = 20
-        float(mmt_chain(mvars["params"], mopt, xm, n_mmt))
+        mmt_compiled = mmt_chain.lower(
+            mvars["params"], mopt, xm, n_mmt
+        ).compile()
+        float(mmt_compiled(mvars["params"], mopt, xm))
         start = time.perf_counter()
-        float(mmt_chain(mvars["params"], mopt, xm, n_mmt))
+        float(mmt_compiled(mvars["params"], mopt, xm))
         mmt_elapsed = time.perf_counter() - start
+        # scan body counted once by cost_analysis (CLAUDE.md) — ×n; the
+        # Pallas dropout-attention cells contribute their cost_estimate
+        mmt_flops = _flops_of(mmt_compiled) * n_mmt
+        mmt_mfu = (
+            mmt_flops / mmt_elapsed / peak if (peak and mmt_flops) else None
+        )
         _emit_partial(
-            mmt_train_samples_per_sec=round(m_bs * n_mmt / mmt_elapsed, 2)
+            mmt_train_samples_per_sec=round(m_bs * n_mmt / mmt_elapsed, 2),
+            mmt_train_mfu=round(mmt_mfu, 4) if mmt_mfu else None,
         )
     except Exception as exc:  # noqa: BLE001 — best-effort extra
         print(f"# mmt train bench skipped: {exc}", flush=True)
