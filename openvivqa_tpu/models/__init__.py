@@ -12,5 +12,6 @@ from . import unique_transformer  # noqa: F401
 from . import iterative_m4c  # noqa: F401
 from . import mmf_m4c  # noqa: F401
 from . import mmf_variants  # noqa: F401
+from . import standalone_m4c  # noqa: F401
 from . import mmf_lorra  # noqa: F401
 from . import vit_models  # noqa: F401

@@ -42,12 +42,6 @@ _normal = nn.initializers.normal(stddev=0.02)
 
 
 @META_ARCHITECTURE.register()
-class M4C(MMF_M4C):
-    """Standalone M4C reimplementation (m4c.py:35-235) — architecturally the
-    canonical MMF_M4C; registered separately so m4c configs resolve."""
-
-
-@META_ARCHITECTURE.register()
 class MMF_REGIONAL_M4C(MMF_M4C):
     """Adds a grid/"region" stream between obj and ocr
     (mmf_regional_m4c.py:29-56,131-160)."""

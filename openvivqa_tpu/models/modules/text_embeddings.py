@@ -115,12 +115,22 @@ def batch_embedding_lookup(
 ) -> jnp.ndarray:
     """Per-sample embedding tables: weights (bs, n_rows, d), tokens (bs, L).
     TPU-native equivalent of the reference's flattened-offset gather
-    (text_embeddings.py:145-163); one-hot matmul on TPU (ops/gather.py)."""
+    (text_embeddings.py:145-163); one-hot matmul on TPU (ops/gather.py).
+
+    padding_idx follows F.embedding's actual semantics: it only masks
+    GRADIENTS in torch — the forward still returns row[padding_idx]
+    (verified against torch; tests/test_standalone_m4c.py pins this via
+    a batch with a padded answer position).  Row gradients at pad tokens
+    are stopped to match."""
     from ...ops.gather import take_rows
 
     gathered = take_rows(weights, tokens)
-    not_pad = (tokens != padding_idx)[..., None].astype(gathered.dtype)
-    return gathered * not_pad
+    is_pad = (tokens == padding_idx)[..., None].astype(gathered.dtype)
+    # forward value identical; gradient to `weights` stopped at pad slots
+    return (
+        gathered * (1.0 - is_pad)
+        + jax.lax.stop_gradient(gathered) * is_pad
+    )
 
 
 @META_TEXT_EMBEDDING.register()

@@ -482,6 +482,37 @@ def convert_mmf_iterative_m4c(state_dict: Mapping[str, Any], config) -> Dict:
     return params
 
 
+def convert_standalone_m4c(state_dict: Mapping[str, Any], config) -> Dict:
+    """Trained reference standalone-M4C state_dict (m4c.py:35-98 layout) ->
+    our M4C tree (models/standalone_m4c.py).  The dead reference parameter
+    `ocr_text_layer_norm` (m4c.py:77 — never used in its forward) is
+    dropped; `question_embedding.position_ids` is a buffer, not a weight.
+    The swapped bbox projections map name-to-name because our model
+    replicates the swap at the call sites (standalone_m4c.py)."""
+    sd = StateDict(state_dict)
+    return {
+        "linear_obj_feat_to_mmt_in": linear(sd, "linear_obj_feat_to_mmt_in"),
+        "linear_obj_bbox_to_mmt_in": linear(sd, "linear_obj_bbox_to_mmt_in"),
+        "linear_ocr_feat_to_mmt_in": linear(sd, "linear_ocr_feat_to_mmt_in"),
+        "linear_ocr_bbox_to_mmt_in": linear(sd, "linear_ocr_bbox_to_mmt_in"),
+        "obj_feat_layer_norm": layer_norm(sd, "obj_feat_layer_norm"),
+        "obj_bbox_layer_norm": layer_norm(sd, "obj_bbox_layer_norm"),
+        "ocr_feat_layer_norm": layer_norm(sd, "ocr_feat_layer_norm"),
+        "ocr_bbox_layer_norm": layer_norm(sd, "ocr_bbox_layer_norm"),
+        "question_embedding": hf_bert_embeddings(sd, "question_embedding"),
+        "question_encoder": hf_bert_encoder(
+            sd, "question_encoder", config.TEXT_BERT.NUM_HIDDEN_LAYERS
+        ),
+        "encoder": hf_bert_encoder(sd, "encoder", config.ENCODER.LAYERS),
+        "vocab_proj_kernel": sd["vocab_proj.weight"].T,
+        "vocab_proj_bias": sd["vocab_proj.bias"],
+        "dynamic_network": {
+            "Dense_0": linear(sd, "dynamic_network.query"),
+            "Dense_1": linear(sd, "dynamic_network.key"),
+        },
+    }
+
+
 def _unsupported(reason: str):
     def converter(state_dict, config):
         raise NotImplementedError(
@@ -502,19 +533,13 @@ MODEL_CONVERTERS = {
     "MMF_Iterative_Multilevel_M4C": convert_mmf_iterative_m4c,
     "MMF_LanguageAdaptiveM4C": convert_mmf_language_adaptive,
     "JointTransformer": convert_joint_transformer,
+    # round 3: the standalone M4C is now its own faithful architecture
+    # (models/standalone_m4c.py), so its checkpoints migrate directly
+    "M4C": convert_standalone_m4c,
     # Documented hard-unsupported (VERDICT r1 item 7): these reference
     # checkpoints describe DIFFERENT architectures than the ones this
     # framework runs under the same registry names, so a weight mapping
     # would be semantically wrong, not merely unimplemented.
-    "M4C": _unsupported(
-        "the reference's standalone M4C (m4c.py:35-235) has its own layout "
-        "(question_embedding/question_encoder BertEmbeddings+BertEncoder, "
-        "a single joint `encoder`, dynamic_embedding, "
-        "DynamicPointerNetwork, vocab_proj — with obj/ocr bbox projections "
-        "swapped at m4c.py:107/133), while this framework registers M4C as "
-        "the canonical MMF_M4C; train fresh or migrate an MMF_M4C "
-        "checkpoint instead"
-    ),
     "MMF_SAL": _unsupported(
         "the reference MMF_SAL (mmf_sal.py:44-88) encodes questions with "
         "an HF text-embedding wrapper over raw strings (not TextBert over "

@@ -109,7 +109,29 @@ VARIANTS = [
     ("MMF_ImprovedDecodingM4C", {}, True),
     # remaining family members (VERDICT r1 item 4): the incremental path is
     # generic over _mmt_streams, so these inherit it unchanged
-    ("M4C", {}, True),
+    # (standalone M4C, round 3: its own architecture + incremental path —
+    # the standalone config schema, models/standalone_m4c.py)
+    (
+        "M4C",
+        {
+            "ENCODER": {
+                "LAYERS": 2,
+                "INTERMEDIATE_SIZE": 64,
+                "SELF_ATTENTION": {"D_MODEL": H, "HEAD": HEADS},
+            },
+            "TEXT_BERT": {
+                "HIDDEN_SIZE": H,
+                "NUM_HIDDEN_LAYERS": 1,
+                "INTERMEDIATE_SIZE": 64,
+            },
+            "DYNAMIC_EMBEDDING": {
+                "ARCHITECTURE": "FixedVocabDynamicEmbedding",
+                "D_MODEL": H,
+                "DROPOUT": 0.0,
+            },
+        },
+        True,
+    ),
     ("experimental_MMF_M4C", {}, True),
     (
         "MMF_LanguageAdaptiveM4C",

@@ -62,9 +62,11 @@ def _task_vocab_len(config):
 
 
 def test_unsupported_architectures_refuse_with_reason():
-    """M4C / MMF_SAL / experimental_MMF_M4C reference checkpoints describe
+    """MMF_SAL / experimental_MMF_M4C reference checkpoints describe
     different architectures than the registry names run here; the converter
-    must refuse with a layout-specific reason, not silently mis-map."""
+    must refuse with a layout-specific reason, not silently mis-map.
+    (Standalone M4C graduated to a real converter in round 3 —
+    tests/test_standalone_m4c.py.)"""
     import pytest as _pytest
 
     from openvivqa_tpu.config import ConfigNode
@@ -73,7 +75,6 @@ def test_unsupported_architectures_refuse_with_reason():
     )
 
     for name, needle in (
-        ("M4C", "m4c.py:35-235"),
         ("MMF_SAL", "mmf_sal.py:44-88"),
         ("experimental_MMF_M4C", "experimental_mmf_m4c.py"),
     ):

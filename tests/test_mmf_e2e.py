@@ -95,3 +95,33 @@ def test_mmf_end_to_end(synthetic_data, tmp_path):
         dumped = json.load(handle)
     assert len(dumped["results"]) > 0
     assert "in_fixed_vocab" in dumped["results"][0]
+
+
+def test_standalone_m4c_end_to_end(synthetic_data, tmp_path):
+    """The standalone M4C (round 3, models/standalone_m4c.py) through the
+    same TrainingMMF task: train -> greedy eval -> checkpoint."""
+    populate()
+    config = _mmf_task_config(synthetic_data, tmp_path)
+    model = dict(
+        config.MODEL.to_dict(),
+        NAME="standalone_m4c_test",
+        ARCHITECTURE="M4C",
+        ENCODER={
+            "LAYERS": 2,
+            "INTERMEDIATE_SIZE": 64,
+            "SELF_ATTENTION": {"D_MODEL": D, "HEAD": 2},
+        },
+        DYNAMIC_EMBEDDING={
+            "ARCHITECTURE": "FixedVocabDynamicEmbedding",
+            "D_MODEL": D,
+            "DROPOUT": 0.1,
+        },
+    )
+    config = config.merged({"MODEL": model})
+    task = build_task(config)
+    task.start()
+
+    ckpt_dir = os.path.join(config.TRAINING.CHECKPOINT_PATH, config.MODEL.NAME)
+    assert os.path.isfile(os.path.join(ckpt_dir, "best_model.pth"))
+    scores = task.get_predictions()
+    assert "CIDEr" in scores

@@ -188,11 +188,28 @@ MMF_MODELS = [
 ]
 
 
+# the standalone M4C (round 3, models/standalone_m4c.py) reads the
+# reference m4c.yaml schema rather than the MMF one
+_STANDALONE_M4C_EXTRA = {
+    "ENCODER": {
+        "LAYERS": 2,
+        "INTERMEDIATE_SIZE": 64,
+        "SELF_ATTENTION": {"D_MODEL": D, "HEAD": 2},
+    },
+    "DYNAMIC_EMBEDDING": {
+        "ARCHITECTURE": "FixedVocabDynamicEmbedding",
+        "D_MODEL": D,
+        "DROPOUT": 0.1,
+    },
+}
+
+
 @pytest.mark.parametrize("name", MMF_MODELS)
 def test_mmf_family_forward_and_greedy(name):
     vocab = M4CVocab()
+    extra = _STANDALONE_M4C_EXTRA if name == "M4C" else {}
     model = META_ARCHITECTURE.get(name)(
-        config=_mmf_config(ARCHITECTURE=name), vocab=vocab
+        config=_mmf_config(ARCHITECTURE=name, **extra), vocab=vocab
     )
     batch = _m4c_batch(vocab)
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
