@@ -546,13 +546,17 @@ MODEL_CONVERTERS = {
         "vocab ids) and carries dead ocr_word_embedding/"
         "ocr_text_layer_norm modules its forward never uses; this "
         "framework's MMF_SAL implements the intended extra OCR "
-        "word-embedding stream, so the parameter sets do not correspond"
+        "word-embedding stream, so the parameter sets do not correspond. "
+        "No reference config names MMF_SAL, so no upstream training "
+        "pipeline (and no checkpoints) exists for it"
     ),
     "experimental_MMF_M4C": _unsupported(
-        "the reference experimental_MMF_M4C (experimental_mmf_m4c.py:"
-        "22-470) carries experimental text-encoding modules with no "
-        "counterpart in this framework's variant (which re-encodes the "
-        "question against the object stream); train fresh"
+        "the reference experimental_MMF_M4C cannot be constructed at all: "
+        "its MMT calls build_encoder for ARCHITECTURE 'MultiModalEncoder' "
+        "(experimental_mmf_m4c.py:272, configs/experimental_mmf_m4c.yaml:"
+        "104), a name registered NOWHERE in the reference — __init__ "
+        "raises before any parameter exists, so no checkpoints can exist "
+        "to migrate; train fresh with this framework's variant"
     ),
 }
 
