@@ -483,6 +483,16 @@ def _streamed_impl(q, k, v, bias, scale, num_heads):
     return _streamed_call(q, k, v, biasf, scale, num_heads, *plan)
 
 
+# -- streaming backward: analytic XLA, MEASURED as the right choice -------
+# A full flash-style Pallas backward (lse residuals, dkv kernel streaming
+# q, dq/dbias kernel streaming k) was built and measured on v5e
+# (2026-08-17): it TIES the analytic XLA backward at
+# b8/s2048 (5.97 vs 5.88 ms hybrid fwd+bwd) and LOSES at scale
+# (b32/s2048: 19.4 vs 11.8 ms; b64/s2048: 35.9 vs 21.7 ms).  XLA's fused
+# softmax-grad schedule never pathologically materialises the weights
+# even at 12.8 GB logical size, while the kernel pair pays two extra
+# logit+exp recomputation passes.  So the VJP is the hybrid: Pallas
+# streamed forward + the packed analytic XLA backward.
 def _streamed_fwd(q, k, v, bias, scale, num_heads):
     return _streamed_impl(q, k, v, bias, scale, num_heads), (q, k, v, bias)
 

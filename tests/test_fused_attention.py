@@ -378,3 +378,58 @@ def test_streamed_engages_beyond_packed_vmem():
     hd, h = 768, 8
     assert not packed_attention_viable(sq, sk, hd, h)
     assert streamed_attention_viable(sq, sk, hd, h)
+
+
+@pytest.mark.parametrize(
+    "b,h,sq,sk,d,bias_shape",
+    [
+        (1, 2, 32, 128, 8, None),
+        (2, 2, 16, 192, 8, (2, 1, 1, 192)),
+        (1, 2, 64, 128, 16, (1, 1, 64, 128)),
+    ],
+)
+def test_streamed_backward_matches_xla(b, h, sq, sk, d, bias_shape):
+    """The streamed kernel's VJP (Pallas forward + analytic XLA backward —
+    a full Pallas backward was measured slower everywhere, see the module
+    comment) reproduces the reference gradients including dbias."""
+    from openvivqa_tpu.ops.fused_attention import (
+        fused_attention_packed_streamed,
+    )
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    bias = None
+    if bias_shape is not None:
+        mask = rng.random(bias_shape) < 0.2
+        bias = jnp.asarray(mask.astype(np.float32) * MASK_VALUE)
+    scale = 1.0 / np.sqrt(d)
+    cot = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+
+    def xla_ref(q, k, v, bias):
+        qh = q.reshape(b, sq, h, d)
+        kh = k.reshape(b, sk, h, d)
+        vh = v.reshape(b, sk, h, d)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", qh, kh,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias is not None:
+            logits = logits + bias
+        w = jax.nn.softmax(logits, -1)
+        return jnp.einsum("bhqk,bkhd->bqhd", w, vh).reshape(b, sq, h * d)
+
+    def loss_ours(q, k, v, bias):
+        return jnp.sum(fused_attention_packed_streamed(q, k, v, bias, scale, h) * cot)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(xla_ref(q, k, v, bias) * cot)
+
+    argnums = (0, 1, 2) if bias is None else (0, 1, 2, 3)
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(loss_ours, argnums=argnums)(q, k, v, bias)
+    want = jax.grad(loss_ref, argnums=argnums)(q, k, v, bias)
+    for g_got, g_want in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_want), atol=6e-2
+        )
