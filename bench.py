@@ -32,8 +32,10 @@ between rounds and a cold compile of the four chains runs >10 minutes.
 
 import json
 import os
+import queue
 import subprocess
 import sys
+import threading
 import time
 from functools import partial
 
@@ -424,6 +426,36 @@ def orchestrate() -> None:
         deadline = time.monotonic() + budget
         tail: list[str] = []
         done = False
+        # stdout is drained on a thread: a worker that wedges inside a TPU
+        # call with NO output (the transient-fault class this machinery
+        # exists for) must still hit the deadline — a blocking readline()
+        # here would only re-check the clock after a line arrived.
+        lines: queue.Queue = queue.Queue()
+
+        def _drain(stream, q):
+            for raw in stream:
+                q.put(raw)
+            q.put(None)  # EOF sentinel
+
+        reader = threading.Thread(
+            target=_drain, args=(proc.stdout, lines), daemon=True
+        )
+        reader.start()
+
+        def _consume(raw: str):
+            nonlocal done
+            line = raw.rstrip("\n")
+            if line.startswith("#PARTIAL "):
+                try:
+                    partials.update(json.loads(line[len("#PARTIAL "):]))
+                except json.JSONDecodeError:
+                    pass
+            elif line == "#WORKER_DONE":
+                done = True
+            else:
+                tail.append(line)
+                print(line, file=sys.stderr, flush=True)
+
         try:
             while True:
                 remaining = deadline - time.monotonic()
@@ -432,8 +464,11 @@ def orchestrate() -> None:
                     proc.wait()
                     error = f"attempt {attempt + 1}: timeout after {budget}s"
                     break
-                line = proc.stdout.readline()
-                if not line:
+                try:
+                    raw = lines.get(timeout=min(remaining, 1.0))
+                except queue.Empty:
+                    continue
+                if raw is None:
                     rc = proc.wait()
                     if rc == 0 and done:
                         error = None
@@ -441,21 +476,21 @@ def orchestrate() -> None:
                         detail = "; ".join(tail[-3:]) or f"rc={rc}"
                         error = f"attempt {attempt + 1}: {detail}"
                     break
-                line = line.rstrip("\n")
-                if line.startswith("#PARTIAL "):
-                    try:
-                        partials.update(json.loads(line[len("#PARTIAL "):]))
-                    except json.JSONDecodeError:
-                        pass
-                elif line == "#WORKER_DONE":
-                    done = True
-                else:
-                    tail.append(line)
-                    print(line, file=sys.stderr, flush=True)
+                _consume(raw)
         finally:
             if proc.poll() is None:
                 proc.kill()
                 proc.wait()
+            # drain anything still buffered (killed worker may have
+            # emitted #PARTIAL metrics that must survive into the JSON)
+            reader.join(timeout=5)
+            while True:
+                try:
+                    raw = lines.get_nowait()
+                except queue.Empty:
+                    break
+                if raw is not None:
+                    _consume(raw)
         if error is None:
             break
         print(f"# bench {error}; retrying", file=sys.stderr, flush=True)

@@ -189,10 +189,14 @@ def _greedy_alignment(
     taken = [False] * n_ref
     pairs: List[Tuple[int, int, int]] = []
     for stage in range(len(STAGE_WEIGHTS)):
-        matched_h = {i for i, _, _ in pairs}
+        matched_ref = {i: j for i, j, _ in pairs}
         prev_r = -2
         for i, row in enumerate(cands):
-            if i in matched_h:
+            if i in matched_ref:
+                # cross-stage chunk continuation: a later-stage match right
+                # after an earlier-stage one at ref slot r must still
+                # prefer r+1 (the pre-round-3 greedy did this)
+                prev_r = matched_ref[i]
                 continue
             free = [j for j, s in row if s == stage and not taken[j]]
             if not free:
@@ -200,7 +204,7 @@ def _greedy_alignment(
             j = prev_r + 1 if prev_r + 1 in free else free[0]
             taken[j] = True
             pairs.append((i, j, stage))
-            matched_h.add(i)
+            matched_ref[i] = j
             prev_r = j
     pairs.sort()
     return pairs

@@ -327,15 +327,24 @@ class _DecodeKVCache(nn.Module):
     def __call__(
         self, k_new, v_new, step_bias, max_len: int, fused=None
     ):
+        # cache widths come from the PROJECTION outputs (h*d_k / h*d_v),
+        # which the schema allows to differ from d_model and each other —
+        # sizing from fused["x"] (d_model) or k_new for BOTH buffers broke
+        # HEAD*D_KEY != D_MODEL and D_KEY != D_VALUE configs (round-3
+        # review finding)
         if fused is not None:
-            bs, hd = fused["x"].shape
+            bs = fused["x"].shape[0]
+            k_width = fused["self_w"]["wk"].shape[1]
+            v_width = fused["self_w"]["wv"].shape[1]
         else:
-            bs, _, hd = k_new.shape
+            bs = k_new.shape[0]
+            k_width = k_new.shape[2]
+            v_width = v_new.shape[2]
         cached_k = self.variable(
-            "cache", "key", lambda: jnp.zeros((bs, max_len, hd), jnp.float32)
+            "cache", "key", lambda: jnp.zeros((bs, max_len, k_width), jnp.float32)
         )
         cached_v = self.variable(
-            "cache", "value", lambda: jnp.zeros((bs, max_len, hd), jnp.float32)
+            "cache", "value", lambda: jnp.zeros((bs, max_len, v_width), jnp.float32)
         )
         cached_bias = self.variable(
             "cache", "bias", lambda: jnp.zeros((bs, max_len), jnp.float32)
@@ -663,13 +672,11 @@ class MultiHeadAttention(nn.Module):
                 )
                 if eb.shape[0] != bs:
                     eb = jnp.broadcast_to(eb, (bs, sk))
-                params_of = lambda m: m.variables["params"]  # noqa: E731
-                ln = params_of(self.layer_norm)
+                w = self.fused_weights()  # one source for param plumbing
                 y = fused_cross_attention_step(
                     queries[:, 0, :],
-                    params_of(core.fc_q)["kernel"], params_of(core.fc_q)["bias"],
-                    params_of(core.fc_o)["kernel"], params_of(core.fc_o)["bias"],
-                    ln["scale"], ln["bias"],
+                    w["wq"], w["bq"], w["wo"], w["bo"],
+                    w["ln_scale"], w["ln_bias"],
                     k, v, eb,
                     1.0 / math.sqrt(core.d_k), core.h,
                     interpret=interpret,

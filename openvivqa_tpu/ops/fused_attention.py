@@ -169,6 +169,38 @@ def _packed_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale, h, d):
         out_ref[0, :, i * d:(i + 1) * d] = out.astype(out_ref.dtype)
 
 
+def _bias_index_map_2d(bias_b: int, bias_qblk: int):
+    """Packed-kernel bias index map over grid (b, nq): batch-shared biases
+    (bias_b == 1) clamp the batch index instead of being broadcast to
+    (b, ...) in HBM before the call (round-3 review finding)."""
+    if bias_b > 1:
+        return (
+            (lambda bi, qi: (bi, qi, 0))
+            if bias_qblk > 1
+            else (lambda bi, qi: (bi, 0, 0))
+        )
+    return (
+        (lambda bi, qi: (0, qi, 0))
+        if bias_qblk > 1
+        else (lambda bi, qi: (0, 0, 0))
+    )
+
+
+def _bias_index_map_3d(bias_b: int, bias_qblk: int):
+    """Streaming-kernel bias index map over grid (b, nq, nk)."""
+    if bias_b > 1:
+        return (
+            (lambda bi, qi, ki: (bi, qi, ki))
+            if bias_qblk > 1
+            else (lambda bi, qi, ki: (bi, 0, ki))
+        )
+    return (
+        (lambda bi, qi, ki: (0, qi, ki))
+        if bias_qblk > 1
+        else (lambda bi, qi, ki: (0, 0, ki))
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("scale", "num_heads", "q_block"))
 def _packed_call(q, k, v, biasf, scale: float, num_heads: int, q_block: int):
     b, sq, hd = q.shape
@@ -198,9 +230,7 @@ def _packed_call(q, k, v, biasf, scale: float, num_heads: int, q_block: int):
             ),
             pl.BlockSpec(
                 (1, bias_qblk, sk),
-                (lambda bi, qi: (bi, qi, 0))
-                if bias_qblk > 1
-                else (lambda bi, qi: (bi, 0, 0)),
+                _bias_index_map_2d(biasf.shape[0], bias_qblk),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -265,8 +295,6 @@ def _fused_packed_impl(q, k, v, bias, scale, num_heads):
             f"no viable q-block for packed attention (sq={sq}, sk={sk}, "
             f"hd={hd}) — guard calls with packed_attention_viable"
         )
-    if biasf.shape[0] == 1 and b > 1:
-        biasf = jnp.broadcast_to(biasf, (b,) + biasf.shape[1:])
     return _packed_call(q, k, v, biasf, scale, num_heads, q_block)
 
 
@@ -436,9 +464,7 @@ def _streamed_call(q, k, v, biasf, scale, num_heads, q_block, k_block):
             ),
             pl.BlockSpec(
                 (1, bias_qblk, k_block),
-                (lambda bi, qi, ki: (bi, qi, ki))
-                if bias_qblk > 1
-                else (lambda bi, qi, ki: (bi, 0, ki)),
+                _bias_index_map_3d(biasf.shape[0], bias_qblk),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -472,8 +498,6 @@ def _streamed_impl(q, k, v, bias, scale, num_heads):
     b, sq, hd = q.shape
     sk = k.shape[1]
     biasf, _ = _normalise_bias_packed(bias, b, sq, sk)
-    if biasf.shape[0] == 1 and b > 1:
-        biasf = jnp.broadcast_to(biasf, (b,) + biasf.shape[1:])
     plan = plan_streamed_blocks(sq, sk, hd, num_heads)
     if plan is None:
         raise ValueError(
@@ -587,9 +611,7 @@ def _packed_2bias_call(q, k, v, biasf, hbias, scale, num_heads, q_block):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, bias_qblk, sk),
-                (lambda bi, qi: (bi, qi, 0))
-                if bias_qblk > 1
-                else (lambda bi, qi: (bi, 0, 0)),
+                _bias_index_map_2d(biasf.shape[0], bias_qblk),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
@@ -624,8 +646,6 @@ def _fused_packed_2bias_impl(q, k, v, bias, head_bias, scale, num_heads):
     b, sq, hd = q.shape
     sk = k.shape[1]
     biasf, _ = _normalise_bias_packed(bias, b, sq, sk)
-    if biasf.shape[0] == 1 and b > 1:
-        biasf = jnp.broadcast_to(biasf, (b,) + biasf.shape[1:])
     head_bias = head_bias.astype(jnp.float32)
     if head_bias.shape[2] != sq or head_bias.shape[3] != sk:
         head_bias = jnp.broadcast_to(
@@ -917,9 +937,7 @@ def _packed_dropout_fwd_call(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (1, bias_qblk, sk),
-                (lambda bi, qi: (bi, qi, 0))
-                if bias_qblk > 1
-                else (lambda bi, qi: (bi, 0, 0)),
+                _bias_index_map_2d(biasf.shape[0], bias_qblk),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -959,9 +977,7 @@ def _packed_dropout_bwd_call(
             qblock_spec, full_spec, full_spec,
             pl.BlockSpec(
                 (1, bias_qblk, sk),
-                (lambda bi, qi: (bi, qi, 0))
-                if bias_qblk > 1
-                else (lambda bi, qi: (bi, 0, 0)),
+                _bias_index_map_2d(biasf.shape[0], bias_qblk),
                 memory_space=pltpu.VMEM,
             ),
             qblock_spec,
@@ -995,8 +1011,6 @@ def fused_attention_packed_dropout(
     bias is treated as non-differentiable (all framework biases are mask
     constants)."""
     biasf, _ = _normalise_bias_packed(bias, q.shape[0], q.shape[1], k.shape[1])
-    if biasf.shape[0] == 1 and q.shape[0] > 1:
-        biasf = jnp.broadcast_to(biasf, (q.shape[0],) + biasf.shape[1:])
     q_block = plan_dropout_fwd_q_block(q.shape[1], k.shape[1], q.shape[2])
     return _packed_dropout_fwd_call(
         seed, q, k, v, biasf, scale, num_heads, rate, q_block
@@ -1015,8 +1029,6 @@ def _packed_dropout_bwd(scale, num_heads, rate, residuals, g):
 
     q, k, v, bias, seed = residuals
     biasf, _ = _normalise_bias_packed(bias, q.shape[0], q.shape[1], k.shape[1])
-    if biasf.shape[0] == 1 and q.shape[0] > 1:
-        biasf = jnp.broadcast_to(biasf, (q.shape[0],) + biasf.shape[1:])
     q_block = plan_dropout_q_block(q.shape[1], k.shape[1], q.shape[2])
     dq, dk, dv = _packed_dropout_bwd_call(
         seed,

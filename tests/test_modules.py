@@ -256,3 +256,48 @@ def test_encoder_shapes():
     gparams = genc.init(jax.random.PRNGKey(3), x, bias, lang, lbias)
     gout = genc.apply(gparams, x, bias, lang, lbias)
     assert gout.shape == (2, 5, 32)
+
+
+@pytest.mark.parametrize(
+    "head,d_key,d_value,d_model",
+    [
+        (4, 8, 4, 32),   # D_KEY != D_VALUE (pre-round-3 cache layout bug)
+        (4, 16, 16, 32), # HEAD*D_KEY != D_MODEL
+    ],
+)
+def test_stateful_decode_odd_projection_widths(head, d_key, d_value, d_model):
+    """The packed decode cache must size K/V buffers from the PROJECTION
+    widths (h*d_k / h*d_v), which the schema allows to differ from d_model
+    and from each other (round-3 review finding: both were sized from one
+    width and crashed these configs)."""
+    import jax
+    import numpy as np
+
+    from openvivqa_tpu.models.modules.attentions import MultiHeadAttention
+
+    cfg = ConfigNode({
+        "ARCHITECTURE": "ScaledDotProductAttention",
+        "HEAD": head, "D_MODEL": d_model, "D_KEY": d_key,
+        "D_VALUE": d_value, "D_FF": 64,
+        "USE_AOA": False, "CAN_BE_STATEFUL": True, "DROPOUT": 0.0,
+    })
+    mha = MultiHeadAttention(config=cfg)
+    rng = np.random.default_rng(0)
+    bs, max_len = 2, 5
+    x = jnp.asarray(rng.normal(size=(bs, 1, d_model)).astype(np.float32))
+
+    variables = mha.init(
+        jax.random.PRNGKey(0), x, x, x, None,
+        decode=True, max_decode_len=max_len,
+    )
+    cache = variables["cache"]
+    out = None
+    for _ in range(3):
+        out, mutated = mha.apply(
+            {"params": variables["params"], "cache": cache},
+            x, x, x, None,
+            decode=True, max_decode_len=max_len, mutable=["cache"],
+        )
+        cache = mutated["cache"]
+    assert out.shape == (bs, 1, d_model)
+    assert np.isfinite(np.asarray(out)).all()
