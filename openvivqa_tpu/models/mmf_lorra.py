@@ -1,17 +1,29 @@
-"""LoRRA as classification (MMF ports).
+"""LoRRA family (MMF ports), rebuilt faithful to the reference layouts
+(round 3).
 
-Parity: /root/reference/models/mmf_lorra.py:12-163 — question self-attention
-branch, spatial (objects over question) and context (OCR over question)
-attention branches whose *weights* re-weight the question features, summed
-and classified over total_answers + MAX_SCENE_TEXT choices; and
-mmf_iterative_lorra.py:16-208 — the iterative variant where the branches are
-applied per decoding layer.
+* MMF_LoRRA (classification — mmf_lorra.py:12-163): question
+  self-attention branch, spatial (objects over question) and context (OCR
+  over question) attention branches whose *weights* re-weight the question
+  features, summed and classified over total_answers + MAX_SCENE_TEXT
+  choices.  The branches are the reference's registry
+  ScaledDotProductAttention (attentions.py:10-60 — four projections,
+  1/sqrt(d_k) scaling, returns (out, weights)) built from the
+  SELF/SPATIAL/CONTEXT_ATTENTION config nodes (HEAD 1 in mmf_lorra.yaml).
+  The reference also builds obj bbox projections its forward never uses
+  (mmf_lorra.py:45-48) — dead params, not replicated.
 
-The reference reuses its registry attention classes for the branch weights
-(single-head in its configs); here the branches are explicit single-head
-attentions returning weights, so the exotic weight-combination semantics
-(mmf_lorra.py:115-152: weights are column-summed over the stream axis and
-scale the question features) is implemented literally.
+* MMF_IterativeLoRRA (generative — mmf_iterative_lorra.py:16-208): the
+  three LoRRA branch OUTPUTS become the [txt, obj, ocr] streams of an
+  MMF-style MMT with pointer-network OCR copy and the M4C greedy decode
+  loop.  The reference cannot be constructed as checked out: _build_mmt
+  resolves the branch configs through build_ENCODER
+  (mmf_iterative_lorra.py:66-68), whose registry has no
+  'ScaledDotProductAttention' — the attention-registry interpretation here
+  follows the config schema and the sibling MMF_LoRRA.  Stream quirks kept
+  from the written forward: the obj stream is feature-only
+  (linear_obj_bbox_to_mmt_in is dead, :52) and the OCR stream is
+  fasttext-only (:80-86).  Inherits MMF_M4C's greedy scan and the exact
+  incremental decode through the generic `_mmt_streams` hook.
 """
 
 from __future__ import annotations
@@ -24,31 +36,59 @@ from flax import linen as nn
 
 from ..builders import META_ARCHITECTURE, build_text_embedding
 from .base import BatchArrays
-from .m4c_common import l2_normalize
-from .modules.bert import LN_EPS
+from .m4c_common import MMT, OcrPtrNet, l2_normalize
+from .mmf_m4c import MMF_M4C
 from .modules.masks import padding_bias
 
 _normal = nn.initializers.normal(stddev=0.02)
 _xavier = nn.initializers.xavier_uniform()
+# the reference LoRRA LayerNorms are plain torch nn.LayerNorm (eps 1e-5)
+_TORCH_LN_EPS = 1e-5
 
 
-class _WeightsAttention(nn.Module):
-    """Single-head scaled-dot attention returning (context, weights)."""
+class _RegistryAttention(nn.Module):
+    """The reference's registry ScaledDotProductAttention exactly as LoRRA
+    builds it (attentions.py:10-60): fc_q/fc_k/fc_v (h*d_k / h*d_v wide),
+    softmax(QK^T/sqrt(d_k) + bias), fc_o back to d_model; returns
+    (out, weights) with weights (bs, h, nq, nk)."""
 
-    d_model: int
+    config: Any  # a SELF/SPATIAL/CONTEXT_ATTENTION config node
 
     @nn.compact
     def __call__(self, queries, keys, values, attention_bias=None):
-        q = nn.Dense(self.d_model, kernel_init=_xavier)(queries)
-        k = nn.Dense(self.d_model, kernel_init=_xavier)(keys)
-        v = nn.Dense(self.d_model, kernel_init=_xavier)(values)
+        c = self.config
+        h, d_k, d_v = c.HEAD, c.D_KEY, c.D_VALUE
+        b, nq = queries.shape[:2]
+        nk = keys.shape[1]
+        q = nn.Dense(h * d_k, kernel_init=_xavier, name="fc_q")(queries)
+        k = nn.Dense(h * d_k, kernel_init=_xavier, name="fc_k")(keys)
+        v = nn.Dense(h * d_v, kernel_init=_xavier, name="fc_v")(values)
         logits = jnp.einsum(
-            "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(float(self.d_model))
+            "bqhd,bkhd->bhqk",
+            q.reshape(b, nq, h, d_k),
+            k.reshape(b, nk, h, d_k),
+            preferred_element_type=jnp.float32,
+        ) / jnp.sqrt(float(d_k))
         if attention_bias is not None:
-            logits = logits + attention_bias[:, 0]
+            logits = logits + attention_bias
         weights = jax.nn.softmax(logits, axis=-1)
-        return jnp.einsum("bqk,bkd->bqd", weights, v), weights
+        out = jnp.einsum(
+            "bhqk,bkhd->bqhd", weights, v.reshape(b, nk, h, d_v)
+        ).reshape(b, nq, h * d_v)
+        return nn.Dense(c.D_MODEL, kernel_init=_xavier, name="fc_o")(out), weights
+
+
+def _attn_node(config, key: str, d_model: int):
+    """The branch config node; synthesised single-head defaults when a
+    hand-written test config omits it (reference configs always carry it)."""
+    node = config.get(key)
+    if node is not None:
+        return node
+    from ..config import ConfigNode
+
+    return ConfigNode(
+        {"HEAD": 1, "D_KEY": d_model, "D_VALUE": d_model, "D_MODEL": d_model}
+    )
 
 
 @META_ARCHITECTURE.register()
@@ -60,19 +100,30 @@ class MMF_LoRRA(nn.Module):
         c = self.config
         self.d_model = c.D_MODEL
         self.txt_embedding = build_text_embedding(c.TEXT_EMBEDDING, self.vocab)
-        self.txt_norm = nn.LayerNorm(epsilon=LN_EPS)
+        self.txt_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
 
-        self.obj_proj = nn.Dense(self.d_model, kernel_init=_normal)
-        self.obj_norm = nn.LayerNorm(epsilon=LN_EPS)
-        self.obj_dropout = nn.Dropout(rate=c.OBJECT_EMBEDDING.DROPOUT)
+        # torch param names kept for the checkpoint converter
+        self.linear_obj_feat_to_mmt_in = nn.Dense(
+            self.d_model, kernel_init=_normal
+        )
+        self.obj_feat_layer_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
+        self.obj_drop = nn.Dropout(rate=c.OBJECT_EMBEDDING.DROPOUT)
 
-        self.ocr_proj = nn.Dense(self.d_model, kernel_init=_normal)
-        self.ocr_norm = nn.LayerNorm(epsilon=LN_EPS)
-        self.ocr_dropout = nn.Dropout(rate=c.OCR_EMBEDDING.DROPOUT)
+        self.linear_ocr_feat_to_mmt_in = nn.Dense(
+            self.d_model, kernel_init=_normal
+        )
+        self.ocr_feat_layer_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
+        self.ocr_drop = nn.Dropout(rate=c.OCR_EMBEDDING.DROPOUT)
 
-        self.self_attn = _WeightsAttention(self.d_model)
-        self.spatial_attn = _WeightsAttention(self.d_model)
-        self.context_attn = _WeightsAttention(self.d_model)
+        self.self_attn = _RegistryAttention(
+            _attn_node(c, "SELF_ATTENTION", self.d_model)
+        )
+        self.spatial_attn = _RegistryAttention(
+            _attn_node(c, "SPATIAL_ATTENTION", self.d_model)
+        )
+        self.context_attn = _RegistryAttention(
+            _attn_node(c, "CONTEXT_ATTENTION", self.d_model)
+        )
 
         # mmf_lorra.yaml pairs LoRRA with OcrVocab (no total_answers) — a
         # latent reference crash; fall back to the token vocab size
@@ -86,12 +137,14 @@ class MMF_LoRRA(nn.Module):
         )
         txt_emb = self.txt_norm(txt_emb)
 
-        obj = self.obj_norm(self.obj_proj(batch["region_features"]))
-        obj = self.obj_dropout(obj, deterministic=not train)
+        obj = self.obj_feat_layer_norm(
+            self.linear_obj_feat_to_mmt_in(batch["region_features"])
+        )
+        obj = self.obj_drop(obj, deterministic=not train)
 
         ocr_feat = l2_normalize(batch["ocr_fasttext_features"])
-        ocr = self.ocr_norm(self.ocr_proj(ocr_feat))
-        ocr = self.ocr_dropout(ocr, deterministic=not train)
+        ocr = self.ocr_feat_layer_norm(self.linear_ocr_feat_to_mmt_in(ocr_feat))
+        ocr = self.ocr_drop(ocr, deterministic=not train)
         return txt_emb, txt_bias, obj, ocr
 
     def _pooled(self, batch: BatchArrays, train: bool) -> jnp.ndarray:
@@ -100,6 +153,10 @@ class MMF_LoRRA(nn.Module):
         self_feat, _ = self.self_attn(txt_emb, txt_emb, txt_emb, txt_bias)
         _, spatial_w = self.spatial_attn(obj, self_feat, self_feat, txt_bias)
         _, context_w = self.context_attn(ocr, self_feat, self_feat, txt_bias)
+        # the reference squeezes the head dim (mmf_lorra.py:134,145) —
+        # its configs are single-head; >1 head would crash there too
+        spatial_w = jnp.squeeze(spatial_w, axis=1)
+        context_w = jnp.squeeze(context_w, axis=1)
 
         # reference quirk (mmf_lorra.py:148-152): weights are summed over the
         # stream axis and scale the question features, then token-summed
@@ -112,29 +169,97 @@ class MMF_LoRRA(nn.Module):
 
 
 @META_ARCHITECTURE.register()
-class MMF_IterativeLoRRA(MMF_LoRRA):
-    """LoRRA with N stacked branch blocks (mmf_iterative_lorra.py:16-208):
-    the question stream is refined by each block before pooling."""
+class MMF_IterativeLoRRA(MMF_M4C):
+    """Generative LoRRA: branch outputs -> MMT + pointer network (see the
+    module docstring for the reference-construction caveat)."""
 
-    def setup(self):
-        super().setup()
-        self.n_blocks = int(self.config.get("LAYERS", 2))
-        self.block_self_attns = [
-            _WeightsAttention(self.d_model, name=f"self_attn_{i}")
-            for i in range(self.n_blocks)
-        ]
+    def setup(self):  # noqa: D401 — full override, no super(): different streams
+        c = self.config
+        mmt = c.MMT
+        self.hidden_size = mmt.get("HIDDEN_SIZE", c.D_MODEL)
+        self.num_heads = mmt.get("NUM_ATTENTION_HEADS", 8)
+        self.mmt_layers = mmt.get("NUM_HIDDEN_LAYERS", 4)
+        self.max_iter = self.vocab.max_answer_length
+        self.d_model = self.hidden_size
+        self.decoding_mode = c.get("DECODING_MODE")
+        if self.decoding_mode not in (None, "incremental"):
+            raise ValueError(
+                f"MODEL.DECODING_MODE must be 'incremental' or unset, got "
+                f"{self.decoding_mode!r}"
+            )
+        self.context_blind = bool(
+            c.get("CONTEXT_BLIND") or self.decoding_mode == "incremental"
+        )
 
-    def _pooled(self, batch: BatchArrays, train: bool) -> jnp.ndarray:
-        txt_emb, txt_bias, obj, ocr = self._streams(batch, train)
+        self.txt_embedding = build_text_embedding(c.TEXT_EMBEDDING, self.vocab)
+        self.txt_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
+        self.linear_obj_feat_to_mmt_in = nn.Dense(
+            self.d_model, kernel_init=_normal
+        )
+        self.obj_feat_layer_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
+        self.obj_drop = nn.Dropout(rate=c.OBJECT_EMBEDDING.DROPOUT)
+        self.linear_ocr_feat_to_mmt_in = nn.Dense(
+            self.d_model, kernel_init=_normal
+        )
+        self.ocr_feat_layer_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
+        self.ocr_drop = nn.Dropout(rate=c.OCR_EMBEDDING.DROPOUT)
 
-        self_feat = txt_emb
-        pooled = jnp.zeros((txt_emb.shape[0], self.d_model), txt_emb.dtype)
-        for attn in self.block_self_attns:
-            self_feat, _ = attn(self_feat, self_feat, self_feat, txt_bias)
-            _, spatial_w = self.spatial_attn(obj, self_feat, self_feat, txt_bias)
-            _, context_w = self.context_attn(ocr, self_feat, self_feat, txt_bias)
-            attended = jnp.einsum(
-                "bol,bld->bld", spatial_w, self_feat
-            ) + jnp.einsum("bkl,bld->bld", context_w, self_feat)
-            pooled = pooled + jnp.sum(attended, axis=1)
-        return pooled
+        self.self_attn = _RegistryAttention(
+            _attn_node(c, "SELF_ATTENTION", self.d_model)
+        )
+        self.spatial_attn = _RegistryAttention(
+            _attn_node(c, "SPATIAL_ATTENTION", self.d_model)
+        )
+        self.context_attn = _RegistryAttention(
+            _attn_node(c, "CONTEXT_ATTENTION", self.d_model)
+        )
+
+        self.mmt = MMT(
+            hidden_size=self.hidden_size,
+            num_layers=self.mmt_layers,
+            num_heads=self.num_heads,
+            intermediate_size=mmt.get("INTERMEDIATE_SIZE"),
+        )
+        # classifier over the FIXED vocab only (OCR handled by the pointer
+        # net, mmf_iterative_lorra.py:72-80); its kernel doubles as the
+        # fixed answer-embedding table like MMF_M4C
+        self.classifier_kernel = self.param(
+            "classifier_kernel", _normal, (self.hidden_size, len(self.vocab))
+        )
+        self.classifier_bias = self.param(
+            "classifier_bias", nn.initializers.zeros, (len(self.vocab),)
+        )
+        ptr = c.get("OCR_PTR_NET")
+        self.ocr_ptr_net = OcrPtrNet(
+            hidden_size=ptr.HIDDEN_SIZE if ptr else self.hidden_size,
+            query_key_size=ptr.get("QUERY_KEY_SIZE") if ptr else None,
+        )
+
+    def _mmt_streams(self, batch: BatchArrays, train: bool) -> Dict:
+        txt_emb, (txt_bias, _) = self.txt_embedding(
+            batch["question_tokens"], train=train
+        )
+        txt_emb = self.txt_norm(txt_emb)
+        obj = self.obj_feat_layer_norm(
+            self.linear_obj_feat_to_mmt_in(batch["region_features"])
+        )
+        obj = self.obj_drop(obj, deterministic=not train)
+        obj_bias = padding_bias(batch["region_features"], 0)
+        ocr = self.ocr_feat_layer_norm(
+            self.linear_ocr_feat_to_mmt_in(
+                l2_normalize(batch["ocr_fasttext_features"])
+            )
+        )
+        ocr = self.ocr_drop(ocr, deterministic=not train)
+        ocr_bias = padding_bias(batch["ocr_fasttext_features"], 0)
+
+        self_feat, _ = self.self_attn(txt_emb, txt_emb, txt_emb, txt_bias)
+        spatial_feat, _ = self.spatial_attn(obj, self_feat, self_feat, txt_bias)
+        context_feat, _ = self.context_attn(ocr, self_feat, self_feat, txt_bias)
+        return {
+            "txt": (self_feat, txt_bias),
+            "obj": (spatial_feat, obj_bias),
+            "ocr": (context_feat, ocr_bias),
+            "pre_ocr": (),
+            "extra": (),
+        }

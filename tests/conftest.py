@@ -62,6 +62,7 @@ _E2E_MODULES = {
     "test_parity_script_smoke",
     "test_multihost_smoke",
     "test_full_model_parity",
+    "test_lorra_parity",
     "test_m4c_variants_parity",
     "test_mmf_m4c_parity",
     "test_torch_parity",

@@ -109,6 +109,18 @@ VARIANTS = [
     ("MMF_ImprovedDecodingM4C", {}, True),
     # remaining family members (VERDICT r1 item 4): the incremental path is
     # generic over _mmt_streams, so these inherit it unchanged
+    # (round 3: the faithful generative MMF_IterativeLoRRA joins the same
+    # way — its LoRRA branch streams flow through the generic hook)
+    (
+        "MMF_IterativeLoRRA",
+        {
+            "TEXT_EMBEDDING": {
+                "ARCHITECTURE": "UsualEmbedding", "D_MODEL": H,
+                "D_EMBEDDING": H, "DROPOUT": 0.0, "WORD_EMBEDDING": None,
+            },
+        },
+        True,
+    ),
     # (standalone M4C, round 3: its own architecture + incremental path —
     # the standalone config schema, models/standalone_m4c.py)
     (

@@ -77,6 +77,7 @@ def test_unsupported_architectures_refuse_with_reason():
     for name, needle in (
         ("MMF_SAL", "mmf_sal.py:44-88"),
         ("experimental_MMF_M4C", "experimental_mmf_m4c.py"),
+        ("MMF_IterativeLoRRA", "mmf_iterative_lorra.py:66-68"),
     ):
         with _pytest.raises(NotImplementedError, match=name):
             try:

@@ -228,23 +228,47 @@ def test_mmf_family_forward_and_greedy(name):
 
 def test_mmf_lorra_forward():
     vocab = M4CVocab()
-    for name in ("MMF_LoRRA", "MMF_IterativeLoRRA"):
-        cfg = _mmf_config(
-            ARCHITECTURE=name,
-            TEXT_EMBEDDING={
-                "ARCHITECTURE": "UsualEmbedding", "D_MODEL": D,
-                "D_EMBEDDING": D, "DROPOUT": 0.1, "WORD_EMBEDDING": None,
-            },
-            LAYERS=2,
-        )
-        model = META_ARCHITECTURE.get(name)(config=cfg, vocab=vocab)
-        batch = _m4c_batch(vocab)
-        variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
-            jax.random.PRNGKey(0), batch
-        )
-        out = model.apply(variables, batch, train=False)
-        assert out["scores"].shape == (2, vocab.total_answers + K_OCR)
-        assert np.isfinite(np.asarray(out["scores"])).all()
+    cfg = _mmf_config(
+        ARCHITECTURE="MMF_LoRRA",
+        TEXT_EMBEDDING={
+            "ARCHITECTURE": "UsualEmbedding", "D_MODEL": D,
+            "D_EMBEDDING": D, "DROPOUT": 0.1, "WORD_EMBEDDING": None,
+        },
+    )
+    model = META_ARCHITECTURE.get("MMF_LoRRA")(config=cfg, vocab=vocab)
+    batch = _m4c_batch(vocab)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch
+    )
+    out = model.apply(variables, batch, train=False)
+    assert out["scores"].shape == (2, vocab.total_answers + K_OCR)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+
+
+def test_mmf_iterative_lorra_forward_and_greedy():
+    """Round-3 faithful rebuild: MMF_IterativeLoRRA is GENERATIVE (branch
+    outputs feed the MMF MMT + pointer net, mmf_iterative_lorra.py:16-208)
+    — teacher-forced scores over (T, vocab+ocr) and greedy decode."""
+    vocab = M4CVocab()
+    cfg = _mmf_config(
+        ARCHITECTURE="MMF_IterativeLoRRA",
+        TEXT_EMBEDDING={
+            "ARCHITECTURE": "UsualEmbedding", "D_MODEL": D,
+            "D_EMBEDDING": D, "DROPOUT": 0.1, "WORD_EMBEDDING": None,
+        },
+    )
+    model = META_ARCHITECTURE.get("MMF_IterativeLoRRA")(config=cfg, vocab=vocab)
+    batch = _m4c_batch(vocab)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch
+    )
+    out = model.apply(variables, batch, train=False)
+    assert out["scores"].shape == (2, vocab.max_answer_length, len(vocab) + K_OCR)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+    decoded = jax.jit(
+        lambda v, b: model.apply(v, b, method=model.greedy_decode)
+    )({"params": variables["params"]}, batch)
+    assert decoded["prev_inds"].shape == (2, vocab.max_answer_length)
 
 
 def test_iterative_m4c_forward_and_beam():
