@@ -37,7 +37,7 @@ from flax import linen as nn
 from ..builders import META_ARCHITECTURE, build_text_embedding
 from .base import BatchArrays
 from .m4c_common import MMT, OcrPtrNet, l2_normalize
-from .mmf_m4c import MMF_M4C
+from .mmf_m4c import MMF_M4C, resolve_decoding_mode
 from .modules.masks import padding_bias
 
 _normal = nn.initializers.normal(stddev=0.02)
@@ -91,30 +91,28 @@ def _attn_node(config, key: str, d_model: int):
     )
 
 
-@META_ARCHITECTURE.register()
-class MMF_LoRRA(nn.Module):
-    config: Any
-    vocab: Any
 
-    def setup(self):
+class _LoRRABranches:
+    """Shared LoRRA plumbing: stream-projection modules + the three
+    registry-attention branches (identical in the classification and
+    generative variants; only how branch outputs/weights are consumed
+    differs)."""
+
+    def _setup_lorra_modules(self):
         c = self.config
-        self.d_model = c.D_MODEL
         self.txt_embedding = build_text_embedding(c.TEXT_EMBEDDING, self.vocab)
         self.txt_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
-
         # torch param names kept for the checkpoint converter
         self.linear_obj_feat_to_mmt_in = nn.Dense(
             self.d_model, kernel_init=_normal
         )
         self.obj_feat_layer_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
         self.obj_drop = nn.Dropout(rate=c.OBJECT_EMBEDDING.DROPOUT)
-
         self.linear_ocr_feat_to_mmt_in = nn.Dense(
             self.d_model, kernel_init=_normal
         )
         self.ocr_feat_layer_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
         self.ocr_drop = nn.Dropout(rate=c.OCR_EMBEDDING.DROPOUT)
-
         self.self_attn = _RegistryAttention(
             _attn_node(c, "SELF_ATTENTION", self.d_model)
         )
@@ -125,30 +123,46 @@ class MMF_LoRRA(nn.Module):
             _attn_node(c, "CONTEXT_ATTENTION", self.d_model)
         )
 
+    def _lorra_streams(self, batch: BatchArrays, train: bool):
+        """(txt_emb, txt_bias, obj, obj_bias, ocr, ocr_bias) — normed/
+        projected/dropped streams (mmf_lorra.py:82-116 semantics; the OCR
+        stream is fasttext-only, the obj stream feature-only)."""
+        txt_emb, (txt_bias, _) = self.txt_embedding(
+            batch["question_tokens"], train=train
+        )
+        txt_emb = self.txt_norm(txt_emb)
+        obj = self.obj_feat_layer_norm(
+            self.linear_obj_feat_to_mmt_in(batch["region_features"])
+        )
+        obj = self.obj_drop(obj, deterministic=not train)
+        obj_bias = padding_bias(batch["region_features"], 0)
+        ocr = self.ocr_feat_layer_norm(
+            self.linear_ocr_feat_to_mmt_in(
+                l2_normalize(batch["ocr_fasttext_features"])
+            )
+        )
+        ocr = self.ocr_drop(ocr, deterministic=not train)
+        ocr_bias = padding_bias(batch["ocr_fasttext_features"], 0)
+        return txt_emb, txt_bias, obj, obj_bias, ocr, ocr_bias
+
+
+@META_ARCHITECTURE.register()
+class MMF_LoRRA(_LoRRABranches, nn.Module):
+    config: Any
+    vocab: Any
+
+    def setup(self):
+        c = self.config
+        self.d_model = c.D_MODEL
+        self._setup_lorra_modules()
         # mmf_lorra.yaml pairs LoRRA with OcrVocab (no total_answers) — a
         # latent reference crash; fall back to the token vocab size
         total_answers = getattr(self.vocab, "total_answers", len(self.vocab))
         self.num_choices = total_answers + c.get("MAX_SCENE_TEXT", 0)
         self.classifier = nn.Dense(self.num_choices, kernel_init=_normal)
 
-    def _streams(self, batch: BatchArrays, train: bool):
-        txt_emb, (txt_bias, _) = self.txt_embedding(
-            batch["question_tokens"], train=train
-        )
-        txt_emb = self.txt_norm(txt_emb)
-
-        obj = self.obj_feat_layer_norm(
-            self.linear_obj_feat_to_mmt_in(batch["region_features"])
-        )
-        obj = self.obj_drop(obj, deterministic=not train)
-
-        ocr_feat = l2_normalize(batch["ocr_fasttext_features"])
-        ocr = self.ocr_feat_layer_norm(self.linear_ocr_feat_to_mmt_in(ocr_feat))
-        ocr = self.ocr_drop(ocr, deterministic=not train)
-        return txt_emb, txt_bias, obj, ocr
-
     def _pooled(self, batch: BatchArrays, train: bool) -> jnp.ndarray:
-        txt_emb, txt_bias, obj, ocr = self._streams(batch, train)
+        txt_emb, txt_bias, obj, _, ocr, _ = self._lorra_streams(batch, train)
 
         self_feat, _ = self.self_attn(txt_emb, txt_emb, txt_emb, txt_bias)
         _, spatial_w = self.spatial_attn(obj, self_feat, self_feat, txt_bias)
@@ -169,7 +183,7 @@ class MMF_LoRRA(nn.Module):
 
 
 @META_ARCHITECTURE.register()
-class MMF_IterativeLoRRA(MMF_M4C):
+class MMF_IterativeLoRRA(_LoRRABranches, MMF_M4C):
     """Generative LoRRA: branch outputs -> MMT + pointer network (see the
     module docstring for the reference-construction caveat)."""
 
@@ -181,38 +195,8 @@ class MMF_IterativeLoRRA(MMF_M4C):
         self.mmt_layers = mmt.get("NUM_HIDDEN_LAYERS", 4)
         self.max_iter = self.vocab.max_answer_length
         self.d_model = self.hidden_size
-        self.decoding_mode = c.get("DECODING_MODE")
-        if self.decoding_mode not in (None, "incremental"):
-            raise ValueError(
-                f"MODEL.DECODING_MODE must be 'incremental' or unset, got "
-                f"{self.decoding_mode!r}"
-            )
-        self.context_blind = bool(
-            c.get("CONTEXT_BLIND") or self.decoding_mode == "incremental"
-        )
-
-        self.txt_embedding = build_text_embedding(c.TEXT_EMBEDDING, self.vocab)
-        self.txt_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
-        self.linear_obj_feat_to_mmt_in = nn.Dense(
-            self.d_model, kernel_init=_normal
-        )
-        self.obj_feat_layer_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
-        self.obj_drop = nn.Dropout(rate=c.OBJECT_EMBEDDING.DROPOUT)
-        self.linear_ocr_feat_to_mmt_in = nn.Dense(
-            self.d_model, kernel_init=_normal
-        )
-        self.ocr_feat_layer_norm = nn.LayerNorm(epsilon=_TORCH_LN_EPS)
-        self.ocr_drop = nn.Dropout(rate=c.OCR_EMBEDDING.DROPOUT)
-
-        self.self_attn = _RegistryAttention(
-            _attn_node(c, "SELF_ATTENTION", self.d_model)
-        )
-        self.spatial_attn = _RegistryAttention(
-            _attn_node(c, "SPATIAL_ATTENTION", self.d_model)
-        )
-        self.context_attn = _RegistryAttention(
-            _attn_node(c, "CONTEXT_ATTENTION", self.d_model)
-        )
+        self.decoding_mode, self.context_blind = resolve_decoding_mode(c)
+        self._setup_lorra_modules()
 
         self.mmt = MMT(
             hidden_size=self.hidden_size,
@@ -236,23 +220,9 @@ class MMF_IterativeLoRRA(MMF_M4C):
         )
 
     def _mmt_streams(self, batch: BatchArrays, train: bool) -> Dict:
-        txt_emb, (txt_bias, _) = self.txt_embedding(
-            batch["question_tokens"], train=train
+        txt_emb, txt_bias, obj, obj_bias, ocr, ocr_bias = self._lorra_streams(
+            batch, train
         )
-        txt_emb = self.txt_norm(txt_emb)
-        obj = self.obj_feat_layer_norm(
-            self.linear_obj_feat_to_mmt_in(batch["region_features"])
-        )
-        obj = self.obj_drop(obj, deterministic=not train)
-        obj_bias = padding_bias(batch["region_features"], 0)
-        ocr = self.ocr_feat_layer_norm(
-            self.linear_ocr_feat_to_mmt_in(
-                l2_normalize(batch["ocr_fasttext_features"])
-            )
-        )
-        ocr = self.ocr_drop(ocr, deterministic=not train)
-        ocr_bias = padding_bias(batch["ocr_fasttext_features"], 0)
-
         self_feat, _ = self.self_attn(txt_emb, txt_emb, txt_emb, txt_bias)
         spatial_feat, _ = self.spatial_attn(obj, self_feat, self_feat, txt_bias)
         context_feat, _ = self.context_attn(ocr, self_feat, self_feat, txt_bias)

@@ -33,6 +33,23 @@ from .modules.masks import padding_bias
 _normal = nn.initializers.normal(stddev=0.02)
 
 
+def resolve_decoding_mode(config):
+    """(decoding_mode, context_blind) from the MODEL config node.
+
+    DECODING_MODE "incremental" (TPU-native fast path): context-blind
+    masking + per-layer KV caches; greedy decode drops from T full
+    joint-transformer re-encodes to one context encode + T single-token
+    steps.  Implies CONTEXT_BLIND.  Default (None) is exact reference
+    behavior.  Shared by the whole M4C family (MMF_M4C, standalone M4C,
+    MMF_IterativeLoRRA)."""
+    mode = config.get("DECODING_MODE")
+    if mode not in (None, "incremental"):
+        raise ValueError(
+            f"MODEL.DECODING_MODE must be 'incremental' or unset, got {mode!r}"
+        )
+    return mode, bool(config.get("CONTEXT_BLIND") or mode == "incremental")
+
+
 @META_ARCHITECTURE.register()
 class MMF_M4C(nn.Module):
     config: Any
@@ -50,20 +67,7 @@ class MMF_M4C(nn.Module):
         )
         self.max_iter = self.vocab.max_answer_length
         self.d_model = self.hidden_size
-        # DECODING_MODE "incremental" (TPU-native fast path): context-blind
-        # masking + per-layer KV caches; greedy decode drops from T full
-        # joint-transformer re-encodes to one context encode + T single-token
-        # steps.  Implies CONTEXT_BLIND.  Default (None) is exact reference
-        # behavior.
-        self.decoding_mode = c.get("DECODING_MODE")
-        if self.decoding_mode not in (None, "incremental"):
-            raise ValueError(
-                f"MODEL.DECODING_MODE must be 'incremental' or unset, got "
-                f"{self.decoding_mode!r}"
-            )
-        self.context_blind = bool(
-            c.get("CONTEXT_BLIND") or self.decoding_mode == "incremental"
-        )
+        self.decoding_mode, self.context_blind = resolve_decoding_mode(c)
 
         self.text_bert = TextBert(
             c.TEXT_BERT, num_heads=self.num_heads, vocab_size=len(self.vocab)

@@ -47,6 +47,7 @@ from flax import linen as nn
 from ..builders import META_ARCHITECTURE, build_text_embedding
 from .base import BatchArrays
 from .m4c_common import OcrPtrNet, l2_normalize
+from .mmf_m4c import resolve_decoding_mode
 from .modules.bert import BertEmbeddings, BertEncoderStack
 from .modules.masks import MASK_VALUE, causal_bias, padding_bias
 
@@ -68,19 +69,11 @@ class M4C(nn.Module):
         c = self.config
         self.d_model = c.D_MODEL
         self.max_iter = self.vocab.max_answer_length
-        self.decoding_mode = c.get("DECODING_MODE")
-        if self.decoding_mode not in (None, "incremental"):
-            raise ValueError(
-                f"MODEL.DECODING_MODE must be 'incremental' or unset, got "
-                f"{self.decoding_mode!r}"
-            )
         # the reference joint encoder lets context rows attend answer
         # columns (m4c.py:163-171 builds no context->answer restriction);
         # CONTEXT_BLIND restores prefix-LM semantics and enables the exact
         # incremental decode (as in MMF_M4C.incremental_greedy_decode)
-        self.context_blind = bool(
-            c.get("CONTEXT_BLIND") or self.decoding_mode == "incremental"
-        )
+        self.decoding_mode, self.context_blind = resolve_decoding_mode(c)
 
         # -- obj/ocr embeddings (m4c.py:58-78), torch param names kept ----
         self.linear_obj_feat_to_mmt_in = nn.Dense(

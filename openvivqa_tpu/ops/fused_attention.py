@@ -248,9 +248,13 @@ def _packed_call(q, k, v, biasf, scale: float, num_heads: int, q_block: int):
 
 
 def _normalise_bias_packed(bias, b: int, sq: int, sk: int):
-    """(b?, 1, bq?, sk) additive bias -> (b, bq, sk) with bq in {1, sq}.
-    Per-head biases are not supported by the packed kernel (the geometry/
-    memory attention variants keep the XLA path)."""
+    """(b?, 1, bq?, sk) additive bias -> (bb, bq, sk) with bb in {1, b} and
+    bq in {1, sq}.  The BATCH dim is deliberately NOT broadcast: the kernel
+    BlockSpec index maps clamp the batch index for batch-shared biases
+    (`_bias_index_map_2d`/`_3d`), so a shared causal/prefix mask never
+    materialises (b, sq, sk) in HBM.  Per-head biases are not supported by
+    the packed kernel (the geometry/memory attention variants keep the XLA
+    path)."""
     if bias is None:
         return jnp.zeros((1, 1, sk), jnp.float32), False
     if bias.ndim != 4 or bias.shape[1] != 1:
@@ -260,13 +264,13 @@ def _normalise_bias_packed(bias, b: int, sq: int, sk: int):
         )
     bias = bias.astype(jnp.float32)
     bb, _, bq, bk = bias.shape
+    if bb not in (1, b):
+        raise ValueError(
+            f"bias batch dim {bb} is neither 1 nor the batch size {b}"
+        )
     if bk != sk or (bq not in (1, sq)):
         bias = jnp.broadcast_to(bias, (bb, 1, sq, sk))
         bq = sq
-    if bb == 1 and bq == 1:
-        return bias[:, 0], False
-    if bb != b:
-        bias = jnp.broadcast_to(bias, (b, 1, bq, sk))
     return bias[:, 0], bq > 1
 
 
