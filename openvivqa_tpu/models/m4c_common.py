@@ -107,14 +107,63 @@ def batch_gather(x: jnp.ndarray, inds: jnp.ndarray) -> jnp.ndarray:
 
 class PrevPredEmbeddings(nn.Module):
     """Decode-step embeddings: gather from [LN(fixed vocab emb) ⊕ LN(ocr
-    emb)] + learned position + type embeddings (mmf_m4c.py:399-445)."""
+    emb)] + learned position + type embeddings (mmf_m4c.py:399-445).
+
+    setup-style with legacy attribute names (LayerNorm_0/1/2, Embed_0/1)
+    matching the original nn.compact auto-naming so checkpoints and the
+    torch converters stay byte-compatible.  build_table exists so
+    incremental decoders can hoist the LayerNormed gather table OUT of the
+    per-step scan body (XLA does not hoist loop invariants across scan
+    iterations — re-normalising the ~5000-row answer table every step is
+    pure waste)."""
 
     hidden_size: int
     dropout: float = 0.1
     max_dec_length: int = 100
     max_type_num: int = 5
 
-    @nn.compact
+    def setup(self):
+        self.LayerNorm_0 = nn.LayerNorm(epsilon=LN_EPS)  # ans emb
+        self.LayerNorm_1 = nn.LayerNorm(epsilon=LN_EPS)  # ocr emb
+        self.Embed_0 = nn.Embed(
+            self.max_dec_length, self.hidden_size, embedding_init=_normal
+        )  # positions
+        self.Embed_1 = nn.Embed(
+            self.max_type_num, self.hidden_size, embedding_init=_normal
+        )  # token types
+        self.LayerNorm_2 = nn.LayerNorm(epsilon=LN_EPS)  # extra
+        self.extra_dropout = nn.Dropout(rate=self.dropout)
+
+    def build_table(
+        self, ans_emb: jnp.ndarray, ocr_emb: jnp.ndarray
+    ) -> jnp.ndarray:
+        """(bs, num_vocab + K, h) LayerNormed gather table — step-invariant;
+        compute once per sequence when decoding incrementally."""
+        bs = ocr_emb.shape[0]
+        ans_emb = self.LayerNorm_0(ans_emb)
+        ocr_emb = self.LayerNorm_1(ocr_emb)
+        return jnp.concatenate(
+            [jnp.broadcast_to(ans_emb, (bs,) + ans_emb.shape), ocr_emb], axis=1
+        )
+
+    def embed_from_table(
+        self,
+        table: jnp.ndarray,  # (bs, num_vocab + K, h) from build_table
+        ans_num: int,
+        prev_inds: jnp.ndarray,  # (bs, L)
+        position_offset=0,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        seq_length = prev_inds.shape[1]
+        raw_dec_emb = batch_gather(table, prev_inds)
+        positions = self.Embed_0(
+            jnp.arange(seq_length)[None, :] + position_offset
+        )
+        token_types = self.Embed_1((prev_inds >= ans_num).astype(jnp.int32))
+        extra = self.LayerNorm_2(positions + token_types)
+        extra = self.extra_dropout(extra, deterministic=not train)
+        return raw_dec_emb + extra
+
     def __call__(
         self,
         ans_emb: jnp.ndarray,  # (num_vocab, h)
@@ -123,25 +172,10 @@ class PrevPredEmbeddings(nn.Module):
         position_offset=0,  # decode-step mode: absolute position of column 0
         train: bool = False,
     ) -> jnp.ndarray:
-        bs, seq_length = prev_inds.shape
-        ans_num = ans_emb.shape[0]
-
-        ans_emb = nn.LayerNorm(epsilon=LN_EPS)(ans_emb)
-        ocr_emb = nn.LayerNorm(epsilon=LN_EPS)(ocr_emb)
-        table = jnp.concatenate(
-            [jnp.broadcast_to(ans_emb, (bs,) + ans_emb.shape), ocr_emb], axis=1
+        table = self.build_table(ans_emb, ocr_emb)
+        return self.embed_from_table(
+            table, ans_emb.shape[0], prev_inds, position_offset, train
         )
-        raw_dec_emb = batch_gather(table, prev_inds)
-
-        positions = nn.Embed(
-            self.max_dec_length, self.hidden_size, embedding_init=_normal
-        )(jnp.arange(seq_length)[None, :] + position_offset)
-        token_types = nn.Embed(
-            self.max_type_num, self.hidden_size, embedding_init=_normal
-        )((prev_inds >= ans_num).astype(jnp.int32))
-        extra = nn.LayerNorm(epsilon=LN_EPS)(positions + token_types)
-        extra = nn.Dropout(rate=self.dropout)(extra, deterministic=not train)
-        return raw_dec_emb + extra
 
 
 class MMT(nn.Module):
@@ -232,8 +266,10 @@ class MMT(nn.Module):
     # The reference greedy loop re-encodes the FULL joint transformer per
     # step (mmf_m4c.py:236-256): O(T · (C+T)²) attention.  Under context-
     # blind masking the context states never depend on decoder tokens, so we
-    # encode the context once, cache each layer's inputs, and decode one
-    # token per step against those caches: O(C² + T·(C+T)).
+    # encode the context once, pre-project each layer's context K/V, and
+    # decode one token per step against those caches — per-step matmuls
+    # touch only the new token: O(C² + T·(C+T)) attention with O(1)
+    # projection work per step.
 
     def encode_context(
         self,
@@ -262,36 +298,54 @@ class MMT(nn.Module):
         ocr_begin = txt_len + obj_len + pre_len
         return {
             "ctx_out": ctx_out,
-            "layer_inputs": tuple(layer_inputs),
+            "context_kv": self.encoder.project_context(layer_inputs),
             "col_bias": col_bias,
+            "ctx_len": inputs.shape[1],
             "ocr_begin": ocr_begin,
             "ocr_end": ocr_begin + ocr_emb.shape[1],
         }
 
-    def embed_step(self, fixed_ans_emb, ocr_emb, prev_token, step):
-        """One decode-step embedding: (bs,) prev token -> (bs, 1, h)."""
-        return self.prev_pred_embeddings(
-            fixed_ans_emb, ocr_emb, prev_token[:, None], position_offset=step
+    def init_decode_caches(self, context, dec_len: int):
+        """Per-layer joint [context | dec slots] K/V caches plus the
+        step-invariant part of the joint attention bias."""
+        caches = self.encoder.init_decode_caches(context["context_kv"], dec_len)
+        bs = context["col_bias"].shape[0]
+        bias_base = jnp.concatenate(
+            [
+                jnp.broadcast_to(
+                    context["col_bias"], (bs,) + context["col_bias"].shape[1:]
+                ),
+                jnp.zeros((bs, 1, 1, dec_len), jnp.float32),
+            ],
+            axis=-1,
+        )
+        return caches, bias_base
+
+    def build_dec_table(self, fixed_ans_emb, ocr_emb):
+        """Step-invariant LayerNormed gather table (hoist out of the scan)."""
+        return self.prev_pred_embeddings.build_table(fixed_ans_emb, ocr_emb)
+
+    def embed_step(self, table, ans_num, prev_token, step):
+        """One decode-step embedding from the prebuilt table:
+        (bs,) prev token -> (bs, 1, h)."""
+        return self.prev_pred_embeddings.embed_from_table(
+            table, ans_num, prev_token[:, None], position_offset=step
         )
 
-    def decode_step(self, dec_emb, context, dec_caches, step, dec_len):
-        """Run ONE new decoder token through all layers against the cached
-        context + decoder-prefix keys.  Returns (out (bs,1,h), new_caches)."""
-        bs = dec_emb.shape[0]
-        positions = jnp.arange(dec_len)
-        dec_bias = jnp.where(positions <= step, 0.0, MASK_VALUE)
-        dec_bias = jnp.broadcast_to(
-            dec_bias[None, None, None, :], (bs, 1, 1, dec_len)
+    def decode_step(self, dec_emb, context, dec_caches, bias_base, step):
+        """Run ONE new decoder token through all layers against the joint
+        pre-projected [context | decoded-prefix] K/V caches.  Returns
+        (out (bs,1,h), new_caches) where caches are per-layer (K, V)."""
+        ctx_len = context["ctx_len"]
+        positions = jnp.arange(bias_base.shape[-1])
+        bias = jnp.where(
+            positions[None, None, None, :] <= ctx_len + step,
+            bias_base,
+            MASK_VALUE,
         )
-        bias = jnp.concatenate([context["col_bias"], dec_bias], axis=-1)
-        out, new_caches = self.encoder(
-            dec_emb,
-            attention_bias=bias,
-            context_inputs=list(context["layer_inputs"]),
-            dec_caches=list(dec_caches),
-            step=step,
+        return self.encoder.decode_step(
+            dec_emb, dec_caches, ctx_len + step, bias
         )
-        return out, tuple(new_caches)
 
 
 def ocr_joint_features(batch, normalize: bool = True) -> jnp.ndarray:

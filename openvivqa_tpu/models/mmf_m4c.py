@@ -225,18 +225,19 @@ class MMF_M4C(nn.Module):
         )
         ctx_ocr = context["ctx_out"][:, context["ocr_begin"]:context["ocr_end"]]
         max_iter = self.max_iter
-        caches = tuple(
-            jnp.zeros((bs, max_iter, self.hidden_size), ctx_ocr.dtype)
-            for _ in range(self.mmt_layers)
-        )
+        # per-layer joint [context | dec slots] (K, V) caches in PROJECTED
+        # space — decode steps project and write only the new token's row
+        # (see BertEncoderStack.decode_step)
+        caches, bias_base = self.mmt.init_decode_caches(context, max_iter)
+        fixed_ans_emb = self._fixed_ans_emb()
+        dec_table = self.mmt.build_dec_table(fixed_ans_emb, ocr_emb)
+        ans_num = fixed_ans_emb.shape[0]
 
         def body(mdl, carry, step):
             prev_token, caches = carry
-            dec_emb = mdl.mmt.embed_step(
-                mdl._fixed_ans_emb(), ocr_emb, prev_token, step
-            )
+            dec_emb = mdl.mmt.embed_step(dec_table, ans_num, prev_token, step)
             out, caches = mdl.mmt.decode_step(
-                dec_emb, context, caches, step, max_iter
+                dec_emb, context, caches, bias_base, step
             )
             fixed = mdl.classifier(out)
             dynamic = mdl.ocr_ptr_net(out, ctx_ocr, ocr_bias)

@@ -171,16 +171,30 @@ class _IterativeM4CBase(MMF_M4C):
         enc = self._encode_joint(batch, False)
         ctx_ocr = enc["encoded"][:, enc["ocr_begin"]:enc["ocr_end"]]
         max_iter = self.max_iter
+        # per-layer (K, V) self-attention caches in PROJECTED space, plus
+        # the cross-attention K/V of the (step-invariant) encoder states
+        # projected ONCE instead of at every decode step
         caches = tuple(
-            jnp.zeros((bs, max_iter, self.hidden_size), ctx_ocr.dtype)
+            tuple(
+                jnp.zeros((bs, max_iter, self.hidden_size), ctx_ocr.dtype)
+                for _ in range(2)
+            )
             for _ in range(self.dec_layers)
         )
+        cross_kvs = tuple(
+            layer.project_cross_kv(
+                enc["all_states"][i] if self.multilevel else enc["encoded"]
+            )
+            for i, layer in enumerate(self.decoder_layers)
+        )
+        fixed_ans_emb = self._fixed_ans_emb()
+        dec_table = self.dec_embeddings.build_table(fixed_ans_emb, enc["ocr_emb"])
+        ans_num = fixed_ans_emb.shape[0]
 
         def body(mdl, carry, step):
             prev_token, caches = carry
-            dec = mdl.dec_embeddings(
-                mdl._fixed_ans_emb(), enc["ocr_emb"], prev_token[:, None],
-                position_offset=step,
+            dec = mdl.dec_embeddings.embed_from_table(
+                dec_table, ans_num, prev_token[:, None], position_offset=step,
             )
             positions = jnp.arange(max_iter)
             step_bias = jnp.broadcast_to(
@@ -191,19 +205,17 @@ class _IterativeM4CBase(MMF_M4C):
             )
             new_caches = []
             for i, layer in enumerate(mdl.decoder_layers):
-                cache = jax.lax.dynamic_update_slice_in_dim(
-                    caches[i], dec, step, axis=1
+                k_new, v_new = layer.project_kv(dec)
+                k_cache = jax.lax.dynamic_update_slice_in_dim(
+                    caches[i][0], k_new, step, axis=1
                 )
-                new_caches.append(cache)
-                cross_states = (
-                    enc["all_states"][i] if mdl.multilevel else enc["encoded"]
+                v_cache = jax.lax.dynamic_update_slice_in_dim(
+                    caches[i][1], v_new, step, axis=1
                 )
-                dec = layer(
-                    dec,
-                    attention_bias=step_bias,
-                    encoder_states=cross_states,
-                    encoder_bias=enc["enc_bias"],
-                    kv_states=cache,
+                new_caches.append((k_cache, v_cache))
+                dec = layer.decode_step(
+                    dec, k_cache, v_cache, step_bias,
+                    cross_kv=cross_kvs[i], encoder_bias=enc["enc_bias"],
                 )
             fixed = mdl.classifier(dec)
             dynamic = mdl.ocr_ptr_net(dec, ctx_ocr, enc["ocr_bias"])

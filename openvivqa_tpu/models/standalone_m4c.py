@@ -267,36 +267,33 @@ class M4C(nn.Module):
         ctx_out, layer_inputs = self.encoder(
             ctx, attention_bias=col_bias, return_layer_inputs=True
         )
+        context_kv = self.encoder.project_context(layer_inputs)
         obj_len, ocr_len = obj_emb.shape[1], ocr_emb.shape[1]
         ctx_ocr = ctx_out[:, obj_len:obj_len + ocr_len]
         max_iter = self.max_iter
-        caches = tuple(
-            jnp.zeros((bs, max_iter, self.d_model), ctx_ocr.dtype)
-            for _ in range(self.mmt_layers)
+        ctx_len = ctx.shape[1]
+        # per-layer joint [context | dec slots] (K, V) caches in projected
+        # space; decode steps write only the new token's row
+        caches = self.encoder.init_decode_caches(context_kv, max_iter)
+        bias_base = jnp.concatenate(
+            [
+                jnp.broadcast_to(col_bias, (bs,) + col_bias.shape[1:]),
+                jnp.zeros((bs, 1, 1, max_iter), jnp.float32),
+            ],
+            axis=-1,
         )
+        joint_positions = jnp.arange(ctx_len + max_iter)[None, None, None, :]
 
         def body(mdl, carry, step):
             prev_token, caches = carry
             dec_emb, _ = mdl.dynamic_embedding(
                 prev_token[:, None], ocr_emb, mdl._fixed_rows()
             )
-            positions = jnp.arange(max_iter)
-            dec_bias = jnp.where(positions <= step, 0.0, MASK_VALUE)
-            bias = jnp.concatenate(
-                [
-                    jnp.broadcast_to(col_bias, (bs,) + col_bias.shape[1:]),
-                    jnp.broadcast_to(
-                        dec_bias[None, None, None, :], (bs, 1, 1, max_iter)
-                    ),
-                ],
-                axis=-1,
+            bias = jnp.where(
+                joint_positions <= ctx_len + step, bias_base, MASK_VALUE
             )
-            out, new_caches = mdl.encoder(
-                dec_emb,
-                attention_bias=bias,
-                context_inputs=list(layer_inputs),
-                dec_caches=list(caches),
-                step=step,
+            out, new_caches = mdl.encoder.decode_step(
+                dec_emb, caches, ctx_len + step, bias
             )
             fixed = out @ mdl.vocab_proj_kernel + mdl.vocab_proj_bias
             dynamic = mdl.dynamic_network(out, ctx_ocr, ocr_bias)
