@@ -133,6 +133,37 @@ def batch_embedding_lookup(
     )
 
 
+def split_embedding_lookup(
+    fixed_weights: jnp.ndarray,  # (n_fixed, d) shared across the batch
+    oov_features: jnp.ndarray,  # (bs, K, d) per-sample rows
+    tokens: jnp.ndarray,  # (bs, L); ids >= n_fixed index the OOV block
+    padding_idx: int,
+) -> jnp.ndarray:
+    """batch_embedding_lookup over a [shared fixed ⊕ per-sample OOV] table
+    WITHOUT materialising the (bs, n_fixed + K, d) broadcast concat — the
+    fixed rows are read once per call, not once per batch row (the concat
+    re-reads n_fixed*d*bs floats from HBM per lookup; at a 5k-row table
+    and bs 32 that is 500 MB vs 15 MB).  Bit-identical to the concat
+    gather: out-of-range ids yield zero rows in the shared lookup and the
+    OOV half is masked explicitly; padding grad-stop semantics match
+    batch_embedding_lookup."""
+    from ...ops.gather import take_rows, take_rows_shared
+
+    n_fixed = fixed_weights.shape[0]
+    fixed_rows = take_rows_shared(fixed_weights, tokens)
+    oov_ids = tokens - n_fixed
+    in_oov = (oov_ids >= 0)[..., None]
+    oov_rows = take_rows(
+        oov_features, jnp.clip(oov_ids, 0, oov_features.shape[1] - 1)
+    )
+    gathered = fixed_rows + jnp.where(in_oov, oov_rows, 0.0)
+    is_pad = (tokens == padding_idx)[..., None].astype(gathered.dtype)
+    return (
+        gathered * (1.0 - is_pad)
+        + jax.lax.stop_gradient(gathered) * is_pad
+    )
+
+
 @META_TEXT_EMBEDDING.register()
 class DynamicEmbedding(nn.Module):
     """Fixed-vocab rows (learned) ⊕ per-sample OCR feature rows; token ids
@@ -149,11 +180,9 @@ class DynamicEmbedding(nn.Module):
         fixed = self.param(
             "fixed_weights", _xavier, (len(self.vocab), self.config.D_MODEL)
         )
-        bs = tokens.shape[0]
-        weights = jnp.concatenate(
-            [jnp.broadcast_to(fixed, (bs,) + fixed.shape), oov_features], axis=1
+        features = split_embedding_lookup(
+            fixed, oov_features, tokens, self.vocab.padding_idx
         )
-        features = batch_embedding_lookup(weights, tokens, self.vocab.padding_idx)
         return features, masks
 
 
@@ -173,12 +202,9 @@ class FixedVocabDynamicEmbedding(nn.Module):
         train: bool = False,
     ):
         masks = _token_masks(tokens, self.vocab.padding_idx)
-        bs = tokens.shape[0]
-        weights = jnp.concatenate(
-            [jnp.broadcast_to(fixed_weights, (bs,) + fixed_weights.shape), oov_features],
-            axis=1,
+        features = split_embedding_lookup(
+            fixed_weights, oov_features, tokens, self.vocab.padding_idx
         )
-        features = batch_embedding_lookup(weights, tokens, self.vocab.padding_idx)
         return features, masks
 
 
