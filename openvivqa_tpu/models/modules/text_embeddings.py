@@ -110,43 +110,27 @@ class LSTMTextEmbedding(nn.Module):
         return features, masks
 
 
-def batch_embedding_lookup(
-    weights: jnp.ndarray, tokens: jnp.ndarray, padding_idx: int
-) -> jnp.ndarray:
-    """Per-sample embedding tables: weights (bs, n_rows, d), tokens (bs, L).
-    TPU-native equivalent of the reference's flattened-offset gather
-    (text_embeddings.py:145-163); one-hot matmul on TPU (ops/gather.py).
-
-    padding_idx follows F.embedding's actual semantics: it only masks
-    GRADIENTS in torch — the forward still returns row[padding_idx]
-    (verified against torch; tests/test_standalone_m4c.py pins this via
-    a batch with a padded answer position).  Row gradients at pad tokens
-    are stopped to match."""
-    from ...ops.gather import take_rows
-
-    gathered = take_rows(weights, tokens)
-    is_pad = (tokens == padding_idx)[..., None].astype(gathered.dtype)
-    # forward value identical; gradient to `weights` stopped at pad slots
-    return (
-        gathered * (1.0 - is_pad)
-        + jax.lax.stop_gradient(gathered) * is_pad
-    )
-
-
 def split_embedding_lookup(
     fixed_weights: jnp.ndarray,  # (n_fixed, d) shared across the batch
     oov_features: jnp.ndarray,  # (bs, K, d) per-sample rows
     tokens: jnp.ndarray,  # (bs, L); ids >= n_fixed index the OOV block
     padding_idx: int,
 ) -> jnp.ndarray:
-    """batch_embedding_lookup over a [shared fixed ⊕ per-sample OOV] table
-    WITHOUT materialising the (bs, n_fixed + K, d) broadcast concat — the
-    fixed rows are read once per call, not once per batch row (the concat
-    re-reads n_fixed*d*bs floats from HBM per lookup; at a 5k-row table
-    and bs 32 that is 500 MB vs 15 MB).  Bit-identical to the concat
-    gather: out-of-range ids yield zero rows in the shared lookup and the
-    OOV half is masked explicitly; padding grad-stop semantics match
-    batch_embedding_lookup."""
+    """Embedding lookup over a [shared fixed ⊕ per-sample OOV] table —
+    the TPU-native equivalent of the reference's flattened-offset gather
+    (text_embeddings.py:145-163) — WITHOUT materialising the
+    (bs, n_fixed + K, d) broadcast concat: the fixed rows are read once
+    per call, not once per batch row (the concat re-reads n_fixed*d*bs
+    floats from HBM per lookup; at a 5k-row table and bs 32 that is
+    500 MB vs 15 MB).  Out-of-range ids yield zero rows in the shared
+    lookup and the OOV half is masked explicitly, so the result is
+    bit-identical to gathering from the concat table.
+
+    padding_idx follows F.embedding's actual semantics: it only masks
+    GRADIENTS in torch — the forward still returns row[padding_idx]
+    (verified against torch; tests/test_standalone_m4c.py pins this via
+    a batch with a padded answer position).  Row gradients at pad tokens
+    are stopped to match."""
     from ...ops.gather import take_rows, take_rows_shared
 
     n_fixed = fixed_weights.shape[0]
