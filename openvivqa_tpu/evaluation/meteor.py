@@ -9,9 +9,12 @@ scoring model (Denkowski & Lavie 2014) directly:
 * matcher stages: exact (weight 1.0), stem (0.6, Snowball English — the
   stemmer family the jar uses), synonym (0.8, WordNet — engages when the
   nltk wordnet corpus is installed locally, mirroring the jar's bundled
-  synonym data; silently absent otherwise).  The paraphrase-table stage
-  (phrase-level, needs the table shipped inside the jar) is ABSENT —
-  documented divergence, quantified in docs/METEOR_DIVERGENCE.md.
+  synonym data; silently absent otherwise), paraphrase (0.6, phrase-level
+  span matching — engages when a paraphrase table file is present, see
+  `_paraphrase_table`; the jar ships its table inside the jar file, which
+  is stripped from this checkout, so the stage is data-gated exactly like
+  synonyms).  Divergence while data is absent is quantified in
+  docs/METEOR_DIVERGENCE.md.
   Vietnamese (the primary OpenViVQA language) has no stem/synonym/
   paraphrase resources in METEOR 1.5 at all, so vi scores match the jar's
   matcher semantics exactly;
@@ -33,12 +36,15 @@ tests/test_evaluation.py pins hand-computed values for each piece.
 
 from __future__ import annotations
 
+import gzip
+import os
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
 ALPHA, BETA, GAMMA, DELTA = 0.85, 0.2, 0.6, 0.75
-STAGE_WEIGHTS = (1.0, 0.6, 0.8)  # exact, stem, synonym (METEOR 1.5 en)
+# exact, stem, synonym, paraphrase (METEOR 1.5 en module weights)
+STAGE_WEIGHTS = (1.0, 0.6, 0.8, 0.6)
 
 _SEARCH_BUDGET = 200_000  # branch-and-bound node limit per sentence pair
 
@@ -92,6 +98,52 @@ def _synonym_lookup():
 
 
 _SYNSETS = _synonym_lookup()
+
+
+def _paraphrase_table() -> Optional[Dict[str, frozenset]]:
+    """Phrase -> set-of-paraphrase-phrases, or None when no table file is
+    present (this offline image).  Same gating as the jar, whose table
+    ships inside the jar file.  Accepted locations: the path in
+    $METEOR_PARAPHRASE_TABLE, else ~/nltk_data/meteor/paraphrase-en.gz or
+    .txt.  Line format (jar-compatible): `phrase1 ||| phrase2`, optionally
+    with a leading probability field (`p ||| phrase1 ||| phrase2`, the
+    probability is ignored — the 1.5 scorer weights the stage, not the
+    pair).  The table is symmetrised on load."""
+    candidates = [
+        os.environ.get("METEOR_PARAPHRASE_TABLE"),
+        os.path.expanduser("~/nltk_data/meteor/paraphrase-en.gz"),
+        os.path.expanduser("~/nltk_data/meteor/paraphrase-en.txt"),
+    ]
+    for path in candidates:
+        if not path or not os.path.exists(path):
+            continue
+        opener = gzip.open if path.endswith(".gz") else open
+        raw: Dict[str, set] = {}
+        with opener(path, "rt", encoding="utf-8") as handle:
+            for line in handle:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                parts = [p.strip() for p in line.split("|||")]
+                if len(parts) == 3:
+                    parts = parts[1:]
+                if len(parts) != 2 or not parts[0] or not parts[1]:
+                    continue
+                a, b = parts
+                if a == b:
+                    continue
+                raw.setdefault(a, set()).add(b)
+                raw.setdefault(b, set()).add(a)
+        return {k: frozenset(v) for k, v in raw.items()}
+    return None
+
+
+_PARAPHRASES = _paraphrase_table()
+_PARAPHRASE_STAGE = 3
+
+
+def _max_phrase_len(table: Dict[str, frozenset]) -> int:
+    return max((phrase.count(" ") + 1 for phrase in table), default=1)
 
 
 def _is_function(token: str) -> bool:
@@ -188,7 +240,7 @@ def _greedy_alignment(
     )
     taken = [False] * n_ref
     pairs: List[Tuple[int, int, int]] = []
-    for stage in range(len(STAGE_WEIGHTS)):
+    for stage in (0, 1, 2):  # token stages; paraphrase spans never reach here
         matched_ref = {i: j for i, j, _ in pairs}
         prev_r = -2
         for i, row in enumerate(cands):
@@ -235,6 +287,182 @@ def _align(
     return pairs, _count_chunks(pairs)
 
 
+def _phrase_candidates(
+    hypo: List[str], ref: List[str]
+) -> List[Tuple[int, int, int, int, int]]:
+    """Paraphrase-stage span matches (h_start, h_len, r_start, r_len, stage)
+    from the loaded table.  1x1 spans that duplicate a token-stage pair are
+    dropped (the lower stage weight always dominates there)."""
+    table = _PARAPHRASES
+    if not table:
+        return []
+    max_len = _max_phrase_len(table)
+    ref_spans: Dict[str, List[Tuple[int, int]]] = {}
+    for j in range(len(ref)):
+        for rl in range(1, min(max_len, len(ref) - j) + 1):
+            phrase = " ".join(ref[j : j + rl])
+            if phrase in table:
+                ref_spans.setdefault(phrase, []).append((j, rl))
+    out: List[Tuple[int, int, int, int, int]] = []
+    for i in range(len(hypo)):
+        for hl in range(1, min(max_len, len(hypo) - i) + 1):
+            targets = table.get(" ".join(hypo[i : i + hl]))
+            if not targets:
+                continue
+            for phrase in targets:
+                for j, rl in ref_spans.get(phrase, ()):
+                    if hl == 1 and rl == 1 and (
+                        hypo[i] == ref[j]
+                        or (
+                            _STEM is not None
+                            and _STEM(hypo[i]) == _STEM(ref[j])
+                        )
+                    ):
+                        continue  # exact/stem already covers this pair
+                    out.append((i, hl, j, rl, _PARAPHRASE_STAGE))
+    return out
+
+
+def _token_spans(
+    cands: List[List[Tuple[int, int]]]
+) -> List[Tuple[int, int, int, int, int]]:
+    return [
+        (i, 1, j, 1, stage)
+        for i, row in enumerate(cands)
+        for j, stage in row
+    ]
+
+
+def _search_alignment_spans(
+    matches: List[Tuple[int, int, int, int, int]],
+    n_hypo: int,
+    n_ref: int,
+    budget: int = _SEARCH_BUDGET,
+) -> Optional[List[Tuple[int, int, int, int, int]]]:
+    """Exact span-level alignment under the jar comparator generalised to
+    phrases: maximise covered words (both sides), then minimise chunks,
+    then minimise summed |h_start - r_start|.  For token-only inputs this
+    reduces to `_search_alignment`'s ordering (coverage = 2x matches).
+    Returns the chosen span matches or None when the budget trips."""
+    by_start: List[List[Tuple[int, int, int, int, int]]] = [
+        [] for _ in range(n_hypo)
+    ]
+    for m in matches:
+        by_start[m[0]].append(m)
+
+    # admissible bound: every match starts at exactly one hypo position,
+    # so future coverage <= sum over remaining starts of the best match
+    suffix = [0] * (n_hypo + 1)
+    for i in reversed(range(n_hypo)):
+        best_here = max((m[1] + m[3] for m in by_start[i]), default=0)
+        suffix[i] = suffix[i + 1] + best_here
+
+    best_key: Optional[Tuple[int, int, int]] = None
+    best_pick: Optional[List[Tuple[int, int, int, int, int]]] = None
+    nodes = 0
+
+    def dfs(i, mask, prev_h_end, prev_r_end, cover, chunks, dist, pick):
+        nonlocal best_key, best_pick, nodes
+        nodes += 1
+        if nodes > budget:
+            raise _BudgetExceeded
+        if best_key is not None and cover + suffix[i] < best_key[0]:
+            return
+        if i == n_hypo:
+            key = (cover, -chunks, -dist)
+            if best_key is None or key > best_key:
+                best_key, best_pick = key, list(pick)
+            return
+        options = []
+        for m in by_start[i]:
+            _, hl, j, rl, _ = m
+            span_bits = ((1 << rl) - 1) << j
+            if mask & span_bits:
+                continue
+            options.append((m, span_bits))
+        options.sort(
+            key=lambda o: (
+                0
+                if (prev_h_end == i and o[0][2] == prev_r_end)
+                else 1,
+                abs(o[0][2] - i),
+                -(o[0][1] + o[0][3]),
+            )
+        )
+        for m, span_bits in options:
+            _, hl, j, rl, _ = m
+            cont = prev_h_end == i and j == prev_r_end
+            pick.append(m)
+            dfs(
+                i + hl, mask | span_bits, i + hl, j + rl,
+                cover + hl + rl, chunks + (0 if cont else 1),
+                dist + abs(i - j), pick,
+            )
+            pick.pop()
+        dfs(i + 1, mask, prev_h_end, prev_r_end, cover, chunks, dist, pick)
+
+    try:
+        dfs(0, 0, -2, -2, 0, 0, 0, [])
+    except _BudgetExceeded:
+        return None
+    return best_pick or []
+
+
+def _count_span_chunks(
+    picks: List[Tuple[int, int, int, int, int]]
+) -> int:
+    if not picks:
+        return 0
+    picks = sorted(picks)
+    chunks = 1
+    for (h0, hl0, r0, rl0, _), (h1, _, r1, _, _) in zip(picks, picks[1:]):
+        if h1 != h0 + hl0 or r1 != r0 + rl0:
+            chunks += 1
+    return chunks
+
+
+def _align_full(
+    h_tokens: List[str], r_tokens: List[str]
+) -> Tuple[Dict[int, int], Dict[int, int], int, int, int]:
+    """Alignment result as (h_stage, r_stage, chunks, covered_h, covered_r).
+
+    Token-only path (no paraphrase table / no phrase candidates) delegates
+    to the pinned-optimal `_align`; span path runs the generalised search,
+    falling back to the token path when the budget trips."""
+    phrase_cands = _phrase_candidates(h_tokens, r_tokens)
+    if phrase_cands:
+        cands = _candidate_edges(h_tokens, r_tokens)
+        if len(r_tokens) <= 62:
+            picks = _search_alignment_spans(
+                _token_spans(cands) + phrase_cands,
+                len(h_tokens),
+                len(r_tokens),
+            )
+            if picks is not None:
+                h_stage: Dict[int, int] = {}
+                r_stage: Dict[int, int] = {}
+                for h0, hl, r0, rl, stage in picks:
+                    for i in range(h0, h0 + hl):
+                        h_stage[i] = stage
+                    for j in range(r0, r0 + rl):
+                        r_stage[j] = stage
+                return (
+                    h_stage,
+                    r_stage,
+                    _count_span_chunks(picks),
+                    len(h_stage),
+                    len(r_stage),
+                )
+    pairs, chunks = _align(h_tokens, r_tokens)
+    return (
+        {i: s for i, _, s in pairs},
+        {j: s for _, j, s in pairs},
+        chunks,
+        len(pairs),
+        len(pairs),
+    )
+
+
 def _weighted_counts(tokens: List[str], matched_stages: Dict[int, int]):
     """(weighted matched, weighted total) with delta content weighting."""
     matched = total = 0.0
@@ -255,11 +483,11 @@ def _sentence_meteor(hypo: str, refs: List[str]) -> float:
         if not h_tokens or not r_tokens:
             best = max(best, float(h_tokens == r_tokens))
             continue
-        pairs, chunks = _align(h_tokens, r_tokens)
-        if not pairs:
+        h_stage, r_stage, chunks, covered_h, covered_r = _align_full(
+            h_tokens, r_tokens
+        )
+        if not covered_h:
             continue
-        h_stage = {i: s for i, _, s in pairs}
-        r_stage = {j: s for _, j, s in pairs}
         wm_h, wt_h = _weighted_counts(h_tokens, h_stage)
         wm_r, wt_r = _weighted_counts(r_tokens, r_stage)
         precision = wm_h / wt_h if wt_h else 0.0
@@ -269,12 +497,15 @@ def _sentence_meteor(hypo: str, refs: List[str]) -> float:
         f_mean = precision * recall / (
             ALPHA * precision + (1.0 - ALPHA) * recall
         )
-        avg_matches = len(pairs)  # one-to-one: |m_h| == |m_r|
+        # phrase matches cover unequal word counts per side; the 1.5
+        # fragmentation denominator is the per-side average
+        avg_matches = (covered_h + covered_r) / 2.0
         # the jar zeroes fragmentation only when ONE chunk covers both
         # sides completely; any partial alignment pays gamma*(ch/m)^beta
         full_cover = (
             chunks == 1
-            and len(pairs) == len(h_tokens) == len(r_tokens)
+            and covered_h == len(h_tokens)
+            and covered_r == len(r_tokens)
         )
         penalty = (
             0.0 if full_cover else GAMMA * (chunks / avg_matches) ** BETA

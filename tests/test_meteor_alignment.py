@@ -105,3 +105,109 @@ def test_exhaustive_tiny_alphabet():
             found = _search_alignment(cands)
             assert found is not None
             assert _key_of(found) == _brute_force_key(cands, len(hypo))
+
+
+# ---------------------------------------------------------------------------
+# Paraphrase stage (span-level matches; data-gated like the synonym stage)
+# ---------------------------------------------------------------------------
+
+import gzip
+
+import pytest
+
+from openvivqa_tpu.evaluation import meteor as meteor_mod
+from openvivqa_tpu.evaluation.meteor import (
+    ALPHA,
+    _align_full,
+    _paraphrase_table,
+    _phrase_candidates,
+    _sentence_meteor,
+)
+
+
+@pytest.fixture
+def paraphrases(monkeypatch):
+    def install(table):
+        sym = {}
+        for a, bs in table.items():
+            for b in bs:
+                sym.setdefault(a, set()).add(b)
+                sym.setdefault(b, set()).add(a)
+        monkeypatch.setattr(
+            meteor_mod,
+            "_PARAPHRASES",
+            {k: frozenset(v) for k, v in sym.items()},
+        )
+
+    return install
+
+
+def test_no_table_means_no_phrase_candidates():
+    assert meteor_mod._PARAPHRASES is None, "offline image ships no table"
+    assert _phrase_candidates("a b".split(), "a b".split()) == []
+
+
+def test_single_word_paraphrase_scores(paraphrases):
+    hypo, ref = "the big dog", ["the large dog"]
+    without = _sentence_meteor(hypo, ref)
+    paraphrases({"big": {"large"}})
+    with_p = _sentence_meteor(hypo, ref)
+    assert with_p > without
+    # full cover, 1 chunk -> no fragmentation penalty; P == R:
+    # (0.25*1 + 0.75*0.6 + 0.75*1) / 1.75
+    expected = (0.25 + 0.45 + 0.75) / 1.75
+    assert abs(with_p - expected) < 1e-12
+
+
+def test_multiword_paraphrase_span(paraphrases):
+    paraphrases({"nyc": {"new york"}})
+    h_stage, r_stage, chunks, cov_h, cov_r = _align_full(
+        "i love nyc".split(), "i love new york".split()
+    )
+    assert (cov_h, cov_r, chunks) == (3, 4, 1)
+    assert h_stage[2] == 3 and r_stage[2] == 3 and r_stage[3] == 3
+
+    p = (0.25 + 0.75 + 0.75 * 0.6) / 1.75
+    r = (0.25 + 0.75 + 2 * 0.75 * 0.6) / 2.5
+    expected = p * r / (ALPHA * p + (1 - ALPHA) * r)  # penalty 0
+    got = _sentence_meteor("i love nyc", ["i love new york"])
+    assert abs(got - expected) < 1e-12
+
+
+def test_span_chunk_continuity(paraphrases):
+    # exact, phrase, exact back-to-back must count as ONE chunk
+    paraphrases({"nyc": {"new york"}})
+    _, _, chunks, cov_h, cov_r = _align_full(
+        "in nyc today".split(), "in new york today".split()
+    )
+    assert (cov_h, cov_r, chunks) == (3, 4, 1)
+
+
+def test_phrase_candidates_skip_exact_duplicates(paraphrases):
+    # a 1x1 "paraphrase" of an identical token must not outrank exact
+    paraphrases({"dog": {"hound"}})
+    cands = _phrase_candidates("dog".split(), "dog".split())
+    assert cands == []
+    assert _sentence_meteor("dog", ["dog"]) == 1.0
+
+
+def test_token_only_scores_unchanged_by_empty_table(paraphrases):
+    base = _sentence_meteor("mot hai ba", ["mot ba hai"])
+    paraphrases({"irrelevant": {"phrase pair"}})
+    assert _sentence_meteor("mot hai ba", ["mot ba hai"]) == base
+
+
+def test_paraphrase_table_loader(tmp_path, monkeypatch):
+    gz = tmp_path / "paraphrase-en.gz"
+    with gzip.open(gz, "wt", encoding="utf-8") as f:
+        f.write("# comment\n")
+        f.write("big ||| large\n")
+        f.write("0.73 ||| new york ||| nyc\n")
+        f.write("malformed line without delim\n")
+        f.write("same ||| same\n")  # self-pair: dropped
+    monkeypatch.setenv("METEOR_PARAPHRASE_TABLE", str(gz))
+    table = _paraphrase_table()
+    assert table["big"] == frozenset({"large"})
+    assert table["large"] == frozenset({"big"})  # symmetrised
+    assert table["nyc"] == frozenset({"new york"})
+    assert "same" not in table and "malformed line without delim" not in table
