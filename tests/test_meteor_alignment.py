@@ -211,3 +211,69 @@ def test_paraphrase_table_loader(tmp_path, monkeypatch):
     assert table["large"] == frozenset({"big"})  # symmetrised
     assert table["nyc"] == frozenset({"new york"})
     assert "same" not in table and "malformed line without delim" not in table
+
+
+def _brute_force_span_key(matches, n_hypo, n_ref):
+    """Enumerate every non-overlapping subset of span matches, return the
+    best (coverage, -chunks, -dist) key."""
+    from openvivqa_tpu.evaluation.meteor import _count_span_chunks
+
+    best = (0, 0, 0)
+    n = len(matches)
+
+    def rec(idx, h_used, r_used, picked):
+        nonlocal best
+        if idx == n:
+            cover = sum(m[1] + m[3] for m in picked)
+            chunks = _count_span_chunks(picked)
+            dist = sum(abs(m[0] - m[2]) for m in picked)
+            key = (cover, -chunks, -dist)
+            if key > best:
+                best = key
+            return
+        rec(idx + 1, h_used, r_used, picked)
+        h0, hl, r0, rl, _ = matches[idx]
+        h_bits = ((1 << hl) - 1) << h0
+        r_bits = ((1 << rl) - 1) << r0
+        if not (h_used & h_bits) and not (r_used & r_bits):
+            rec(idx + 1, h_used | h_bits, r_used | r_bits,
+                picked + [matches[idx]])
+
+    rec(0, 0, 0, [])
+    return best
+
+
+def test_span_search_matches_brute_force(paraphrases):
+    from openvivqa_tpu.evaluation.meteor import (
+        _search_alignment_spans,
+        _count_span_chunks,
+        _token_spans,
+    )
+
+    rng = random.Random(11)
+    alphabet = ["a", "b", "c", "d"]
+    # random paraphrase table over 1-2 word phrases of the alphabet
+    phrases = ["a", "b", "c", "d", "a b", "b c", "c d", "d a"]
+    for trial in range(120):
+        table = {}
+        for _ in range(rng.randint(1, 3)):
+            p1, p2 = rng.sample(phrases, 2)
+            table.setdefault(p1, set()).add(p2)
+        paraphrases(table)
+        hypo = [rng.choice(alphabet) for _ in range(rng.randint(1, 5))]
+        ref = [rng.choice(alphabet) for _ in range(rng.randint(1, 5))]
+        spans = _token_spans(_candidate_edges(hypo, ref)) + _phrase_candidates(
+            hypo, ref
+        )
+        found = _search_alignment_spans(spans, len(hypo), len(ref))
+        assert found is not None
+        key = (
+            sum(m[1] + m[3] for m in found),
+            -_count_span_chunks(found),
+            -sum(abs(m[0] - m[2]) for m in found),
+        )
+        assert key == _brute_force_span_key(spans, len(hypo), len(ref)), (
+            hypo,
+            ref,
+            sorted(table.items()),
+        )
