@@ -119,21 +119,24 @@ def _paraphrase_table() -> Optional[Dict[str, frozenset]]:
             continue
         opener = gzip.open if path.endswith(".gz") else open
         raw: Dict[str, set] = {}
-        with opener(path, "rt", encoding="utf-8") as handle:
-            for line in handle:
-                line = line.strip()
-                if not line or line.startswith("#"):
-                    continue
-                parts = [p.strip() for p in line.split("|||")]
-                if len(parts) == 3:
-                    parts = parts[1:]
-                if len(parts) != 2 or not parts[0] or not parts[1]:
-                    continue
-                a, b = parts
-                if a == b:
-                    continue
-                raw.setdefault(a, set()).add(b)
-                raw.setdefault(b, set()).add(a)
+        try:
+            with opener(path, "rt", encoding="utf-8") as handle:
+                for line in handle:
+                    line = line.strip()
+                    if not line or line.startswith("#"):
+                        continue
+                    parts = [p.strip() for p in line.split("|||")]
+                    if len(parts) == 3:
+                        parts = parts[1:]
+                    if len(parts) != 2 or not parts[0] or not parts[1]:
+                        continue
+                    a, b = parts
+                    if a == b:
+                        continue
+                    raw.setdefault(a, set()).add(b)
+                    raw.setdefault(b, set()).add(a)
+        except Exception:  # noqa: BLE001 — corrupt table: same gating as
+            continue  # _stemmer/_synonym_lookup, degrade to no-table
         return {k: frozenset(v) for k, v in raw.items()}
     return None
 
@@ -141,9 +144,19 @@ def _paraphrase_table() -> Optional[Dict[str, frozenset]]:
 _PARAPHRASES = _paraphrase_table()
 _PARAPHRASE_STAGE = 3
 
+# identity-keyed memo: real tables have millions of keys; scan once per
+# table object, not once per sentence pair
+_MAX_LEN_MEMO: Tuple[Optional[Dict], int] = (None, 1)
+
 
 def _max_phrase_len(table: Dict[str, frozenset]) -> int:
-    return max((phrase.count(" ") + 1 for phrase in table), default=1)
+    global _MAX_LEN_MEMO
+    if _MAX_LEN_MEMO[0] is not table:
+        _MAX_LEN_MEMO = (
+            table,
+            max((phrase.count(" ") + 1 for phrase in table), default=1),
+        )
+    return _MAX_LEN_MEMO[1]
 
 
 def _is_function(token: str) -> bool:
@@ -273,12 +286,15 @@ def _count_chunks(pairs: List[Tuple[int, int, int]]) -> int:
 
 
 def _align(
-    hypo: List[str], ref: List[str]
+    hypo: List[str],
+    ref: List[str],
+    cands: Optional[List[List[Tuple[int, int]]]] = None,
 ) -> Tuple[List[Tuple[int, int, int]], int]:
     """Optimal (jar-comparator) alignment with greedy fallback.
 
     Returns (pairs, chunks) where pairs are (hypo_idx, ref_idx, stage)."""
-    cands = _candidate_edges(hypo, ref)
+    if cands is None:
+        cands = _candidate_edges(hypo, ref)
     pairs = None
     if len(ref) <= 62:  # mask width guard; answers are far shorter
         pairs = _search_alignment(cands)
@@ -429,10 +445,11 @@ def _align_full(
     Token-only path (no paraphrase table / no phrase candidates) delegates
     to the pinned-optimal `_align`; span path runs the generalised search,
     falling back to the token path when the budget trips."""
-    phrase_cands = _phrase_candidates(h_tokens, r_tokens)
-    if phrase_cands:
-        cands = _candidate_edges(h_tokens, r_tokens)
-        if len(r_tokens) <= 62:
+    cands = None
+    if len(r_tokens) <= 62:  # mask width guard, same as _align's
+        phrase_cands = _phrase_candidates(h_tokens, r_tokens)
+        if phrase_cands:
+            cands = _candidate_edges(h_tokens, r_tokens)
             picks = _search_alignment_spans(
                 _token_spans(cands) + phrase_cands,
                 len(h_tokens),
@@ -453,7 +470,7 @@ def _align_full(
                     len(h_stage),
                     len(r_stage),
                 )
-    pairs, chunks = _align(h_tokens, r_tokens)
+    pairs, chunks = _align(h_tokens, r_tokens, cands)
     return (
         {i: s for i, _, s in pairs},
         {j: s for _, j, s in pairs},

@@ -127,6 +127,10 @@ from openvivqa_tpu.evaluation.meteor import (
 
 @pytest.fixture
 def paraphrases(monkeypatch):
+    # start table-free even on machines with a real table installed, so
+    # the "without" baselines below are deterministic
+    monkeypatch.setattr(meteor_mod, "_PARAPHRASES", None)
+
     def install(table):
         sym = {}
         for a, bs in table.items():
@@ -142,8 +146,8 @@ def paraphrases(monkeypatch):
     return install
 
 
-def test_no_table_means_no_phrase_candidates():
-    assert meteor_mod._PARAPHRASES is None, "offline image ships no table"
+def test_no_table_means_no_phrase_candidates(monkeypatch):
+    monkeypatch.setattr(meteor_mod, "_PARAPHRASES", None)
     assert _phrase_candidates("a b".split(), "a b".split()) == []
 
 
