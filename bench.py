@@ -12,9 +12,15 @@ Prints ONE JSON line.  Required driver keys:
 plus honest-performance extras (VERDICT r1 item 5):
   train_samples_per_sec / vs_baseline_train  — full jitted train step
     (loss + grads + Adam) chained sequentially like a real epoch;
-  beam_samples_per_sec — IterativeMCAN beam-3 generative eval;
-  mmt_train_samples_per_sec — 4-layer 768-wide MMT-dims train step with
-    attention dropout 0.1 (exercises the Pallas dropout-attention pair);
+  beam_samples_per_sec / vs_baseline_beam — IterativeMCAN beam-3
+    generative eval vs the reference's beam loop on torch CPU;
+  mmf_greedy_samples_per_sec / vs_baseline_mmf_greedy — MMF_M4C greedy
+    decode (incremental projected-KV path) vs the reference's max_iter
+    full-re-encode loop on torch CPU at the same dims;
+  mmt_train_samples_per_sec / vs_baseline_mmt_train — 4-layer 768-wide
+    MMT-dims train step with attention dropout 0.1 (exercises the Pallas
+    dropout-attention pair) vs the reference MMT's HF BertEncoder class
+    trained on torch CPU at the same dims;
   eval_mfu / train_mfu — XLA cost-analysis FLOPs over wall-clock against
     the chip's bf16 peak (TPU matmuls at default precision execute as
     bf16 passes, CLAUDE.md measured facts).
@@ -60,7 +66,11 @@ RESULT_KEYS = (
     "train_samples_per_sec",
     "vs_baseline_train",
     "beam_samples_per_sec",
+    "vs_baseline_beam",
+    "mmf_greedy_samples_per_sec",
+    "vs_baseline_mmf_greedy",
     "mmt_train_samples_per_sec",
+    "vs_baseline_mmt_train",
     "mmt_train_mfu",
     "eval_mfu",
     "train_mfu",
@@ -345,8 +355,15 @@ def worker():
         mmt_mfu = (
             mmt_flops / mmt_elapsed / peak if (peak and mmt_flops) else None
         )
+        mmt_sps = m_bs * n_mmt / mmt_elapsed
+        vs_mmt = (
+            mmt_sps / anchor["mmt_train_samples_per_sec"]
+            if anchor.get("mmt_train_samples_per_sec")
+            else None
+        )
         _emit_partial(
-            mmt_train_samples_per_sec=round(m_bs * n_mmt / mmt_elapsed, 2),
+            mmt_train_samples_per_sec=round(mmt_sps, 2),
+            vs_baseline_mmt_train=round(vs_mmt, 2) if vs_mmt else None,
             mmt_train_mfu=round(mmt_mfu, 4) if mmt_mfu else None,
         )
     except Exception as exc:  # noqa: BLE001 — best-effort extra
@@ -386,11 +403,118 @@ def worker():
         start = time.perf_counter()
         float(beam_chain(beam_vars["params"], beam_batch, n_beam))
         beam_elapsed = time.perf_counter() - start
+        beam_sps = beam_bs * n_beam / beam_elapsed
+        vs_beam = (
+            beam_sps / anchor["iterative_mcan_beam_eval_samples_per_sec"]
+            if anchor.get("iterative_mcan_beam_eval_samples_per_sec")
+            else None
+        )
         _emit_partial(
-            beam_samples_per_sec=round(beam_bs * n_beam / beam_elapsed, 2)
+            beam_samples_per_sec=round(beam_sps, 2),
+            vs_baseline_beam=round(vs_beam, 2) if vs_beam else None,
         )
     except Exception as exc:  # noqa: BLE001 — beam bench is best-effort
         print(f"# beam bench skipped: {exc}", flush=True)
+
+    # ---- MMF_M4C incremental greedy decode (the M4C-family eval loop) ------
+    # Reference counterpart: /root/reference/models/mmf_m4c.py:236-256 —
+    # max_iter FULL MMT re-encodes per batch.  Ours is the projected-KV +
+    # split-gather incremental path at the same dims as the CPU anchor
+    # (scripts/bench_m4c_decode.py: 768h/4L MMT, 3L TextBert, bs 32, obj 100
+    # + ocr 100 + q 20, vocab 5000, max_iter 12).
+    try:
+        from openvivqa_tpu.models.mmf_m4c import MMF_M4C
+
+        from openvivqa_tpu.config import ConfigNode
+
+        m4c_h, m4c_vocab_n = 768, 5000
+        m4c_bs, m4c_t, m4c_chain = 32, 12, 8
+
+        class M4CVocab:
+            padding_idx, bos_idx, eos_idx, unk_idx = 0, 1, 2, 3
+            max_answer_length = m4c_t
+
+            def __len__(self):
+                return m4c_vocab_n
+
+        m4c_cfg = ConfigNode(
+            {
+                "ARCHITECTURE": "MMF_M4C",
+                "D_MODEL": m4c_h,
+                "DECODING_MODE": "incremental",
+                "MMT": {
+                    "HIDDEN_SIZE": m4c_h, "NUM_HIDDEN_LAYERS": 4,
+                    "NUM_ATTENTION_HEADS": 8,
+                },
+                "TEXT_BERT": {"HIDDEN_SIZE": m4c_h, "NUM_HIDDEN_LAYERS": 3},
+                "OBJECT_EMBEDDING": {"D_FEATURE": 1024, "DROPOUT": 0.1},
+                "OCR_EMBEDDING": {"D_FEATURE": 812, "DROPOUT": 0.1},
+                "OCR_PTR_NET": {"HIDDEN_SIZE": m4c_h, "QUERY_KEY_SIZE": 768},
+            }
+        )
+        m4c = MMF_M4C(m4c_cfg, M4CVocab())
+        m4c_rng = np.random.default_rng(7)
+
+        def _f(*shape):
+            return jnp.asarray(m4c_rng.normal(size=shape).astype(np.float32))
+
+        m4c_q = m4c_rng.integers(4, m4c_vocab_n, (m4c_bs, 20)).astype(np.int32)
+        m4c_q[:, -4:] = 0
+        m4c_batch = {
+            "question_tokens": jnp.asarray(m4c_q),
+            "region_features": _f(m4c_bs, 100, 1024),
+            "region_boxes": _f(m4c_bs, 100, 4),
+            "ocr_fasttext_features": _f(m4c_bs, 100, 300),
+            "ocr_rec_features": _f(m4c_bs, 100, 256),
+            "ocr_det_features": _f(m4c_bs, 100, 256),
+            "ocr_boxes": _f(m4c_bs, 100, 4),
+            "answer_tokens": jnp.asarray(
+                m4c_rng.integers(4, m4c_vocab_n + 100, (m4c_bs, m4c_t))
+                .astype(np.int32)
+            ),
+        }
+        m4c_vars = jax.jit(
+            lambda r, b: m4c.init({"params": r, "dropout": r}, b, train=False)
+        )(jax.random.PRNGKey(0), m4c_batch)
+
+        @jax.jit
+        def m4c_chain_fn(params, batch):
+            def body(carry, _):
+                b = dict(batch)
+                # feed previous tokens back through the features so XLA
+                # cannot dedupe chain iterations (tunnel rules, CLAUDE.md)
+                b["region_features"] = batch["region_features"] + (
+                    carry[:, :1, None].astype(jnp.float32) * 1e-6
+                )
+                out = m4c.apply(
+                    {"params": params}, b, method="greedy_decode"
+                )
+                return out["prev_inds"][:, -1:], None
+
+            final, _ = jax.lax.scan(
+                body,
+                jnp.zeros((m4c_bs, 1), jnp.int32),
+                None,
+                length=m4c_chain,
+            )
+            return final
+
+        np.asarray(m4c_chain_fn(m4c_vars["params"], m4c_batch))  # compile
+        start = time.perf_counter()
+        np.asarray(m4c_chain_fn(m4c_vars["params"], m4c_batch))
+        m4c_elapsed = time.perf_counter() - start
+        m4c_sps = m4c_bs * m4c_chain / m4c_elapsed
+        vs_mmf = (
+            m4c_sps / anchor["mmf_greedy_samples_per_sec"]
+            if anchor.get("mmf_greedy_samples_per_sec")
+            else None
+        )
+        _emit_partial(
+            mmf_greedy_samples_per_sec=round(m4c_sps, 2),
+            vs_baseline_mmf_greedy=round(vs_mmf, 2) if vs_mmf else None,
+        )
+    except Exception as exc:  # noqa: BLE001 — best-effort extra
+        print(f"# mmf greedy bench skipped: {exc}", flush=True)
 
     print("#WORKER_DONE", flush=True)
 

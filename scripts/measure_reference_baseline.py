@@ -7,10 +7,24 @@ missing deps (yacs, pytorch_transformers), builds its MCAN at the
 mcan.yaml dims (D_MODEL=512, 3 SA + 3 GA layers, LSTM text embedding, 1024-d
 region features), and times eval forward and train step on CPU.
 
-Writes BASELINE_MEASURED.json at the repo root.  Run once:
-    python scripts/measure_reference_baseline.py
+Merges results into BASELINE_MEASURED.json at the repo root (other anchors
+in the file are preserved).  Run once:
+    python scripts/measure_reference_baseline.py [--only mcan|mmf_greedy]
+
+Anchors produced:
+  mcan_eval_samples_per_sec / mcan_train_samples_per_sec — MCAN @ mcan.yaml
+    dims (the bench.py eval/train headline anchor);
+  mmf_greedy_samples_per_sec — MMF_M4C greedy decode (the reference's
+    in-forward eval loop, /root/reference/models/mmf_m4c.py:236-256) at the
+    scripts/bench_m4c_decode.py dims (768h / 4-layer MMT / 3-layer TextBert,
+    bs 32, obj 100 + ocr 100 + question 20, max_iter 12);
+  mmt_train_samples_per_sec — Adam train step on the HF BertEncoder the
+    reference's MMT wraps (/root/reference/models/mmf_m4c.py:263,287) at
+    the bench.py mmt_train dims (4 layers, 768h, 8 heads, bs 32, len 512,
+    dropout 0.1, masked 40-key tail).
 """
 
+import argparse
 import json
 import os
 import sys
@@ -114,14 +128,142 @@ def mcan_config(CfgNode):
     )
 
 
-def main():
-    CfgNode = install_stubs()
-    sys.path.insert(0, "/root/reference")
+def mmf_config(CfgNode):
+    """MMF_M4C at the scripts/bench_m4c_decode.py dims (mmf_m4c.yaml
+    hidden sizes; 3-layer TextBert keeps the constant encode cost small
+    on both sides, same as the JAX bench)."""
+    return CfgNode(
+        {
+            "ARCHITECTURE": "MMF_M4C",
+            "NAME": "mmf_baseline",
+            "DEVICE": "cpu",
+            "MMT": {
+                "HIDDEN_SIZE": 768, "NUM_HIDDEN_LAYERS": 4,
+                "NUM_ATTENTION_HEADS": 8,
+            },
+            "TEXT_BERT": {
+                "HIDDEN_SIZE": 768, "NUM_HIDDEN_LAYERS": 3,
+                "LOAD_PRETRAINED": False,
+                "PRETRAINED_NAME": "bert-base-uncased",
+            },
+            "OBJECT_EMBEDDING": {"D_FEATURE": 1024, "DROPOUT": 0.1},
+            "OCR_EMBEDDING": {"D_FEATURE": 812, "DROPOUT": 0.1},
+            "OCR_PTR_NET": {"HIDDEN_SIZE": 768, "QUERY_KEY_SIZE": 768},
+        }
+    )
+
+
+def measure_mmf_greedy(CfgNode) -> dict:
+    """Time the reference's greedy decode: eval-mode forward runs max_iter
+    FULL MMT re-encodes (mmf_m4c.py:243-256 — one per emitted token)."""
+    import torch
+
+    torch.manual_seed(0)
+    from builders.model_builder import META_ARCHITECTURE
+    from utils.instance import InstanceList
+
+    bs, n_obj, n_ocr, qlen, max_a = 32, 100, 100, 20, 12
+    vocab = TinyVocab(n_tokens=5000, max_q=qlen, max_a=max_a)
+    model = META_ARCHITECTURE.get("MMF_M4C")(mmf_config(CfgNode), vocab)
+    model = model.to("cpu").eval()
+
+    rng = np.random.default_rng(7)
+
+    def feats(*shape):
+        return torch.tensor(rng.normal(size=shape).astype(np.float32))
+
+    q = rng.integers(4, len(vocab), (bs, qlen)).astype(np.int64)
+    q[:, -4:] = 0  # padding tail, same as the JAX bench batch
+    items = InstanceList()
+    items.question_tokens = torch.tensor(q)
+    items.region_features = feats(bs, n_obj, 1024)
+    items.region_boxes = feats(bs, n_obj, 4)
+    items.ocr_fasttext_features = feats(bs, n_ocr, 300)
+    items.ocr_rec_features = feats(bs, n_ocr, 256)
+    items.ocr_det_features = feats(bs, n_ocr, 256)
+    items.ocr_boxes = feats(bs, n_ocr, 4)
+
+    with torch.no_grad():
+        # warm the thread pools with one training-mode forward (1 MMT pass
+        # instead of max_iter) before timing the real greedy loop
+        model.train()
+        items.answer_tokens = torch.tensor(
+            rng.integers(4, len(vocab), (bs, max_a)).astype(np.int64)
+        )
+        model(items)
+        model.eval()
+
+        n_iters = 2
+        start = time.perf_counter()
+        for _ in range(n_iters):
+            model(items)
+        elapsed = time.perf_counter() - start
+
+    sps = bs * n_iters / elapsed
+    return {
+        "mmf_greedy_samples_per_sec": sps,
+        "mmf_greedy_dims": (
+            "MMF_M4C 768h/4L MMT + 3L TextBert, bs 32, obj 100 + ocr 100 + "
+            "q 20, vocab 5000, max_iter 12 (bench_m4c_decode.py dims)"
+        ),
+    }
+
+
+def measure_mmt_train() -> dict:
+    """Adam train step on the exact encoder class the reference's MMT wraps
+    (HF BertEncoder — /root/reference/models/mmf_m4c.py:263,287) at the
+    bench.py mmt_train dims: 4 layers, 768 hidden, 8 heads, bs 32, len 512,
+    dropout 0.1, additive mask over the last 40 keys, MSE-style loss."""
+    import torch
+    from transformers.models.bert.modeling_bert import BertConfig, BertEncoder
+
+    torch.manual_seed(0)
+    bs, length, hidden = 32, 512, 768
+    config = BertConfig(
+        hidden_size=hidden, num_hidden_layers=4, num_attention_heads=8,
+        intermediate_size=4 * hidden, hidden_dropout_prob=0.1,
+        attention_probs_dropout_prob=0.1,
+    )
+    # standalone BertEncoder misses PreTrainedModel's attn dispatch setup
+    config._attn_implementation = "eager"
+    encoder = BertEncoder(config)
+    encoder.train()
+
+    rng = np.random.default_rng(3)
+    x = torch.tensor(rng.normal(size=(bs, length, hidden)).astype(np.float32))
+    # extended additive mask, last 40 keys masked (same as the JAX bench)
+    mask = torch.zeros((bs, 1, 1, length))
+    mask[:, :, :, length - 40:] = -10000.0
+
+    optim = torch.optim.Adam(encoder.parameters(), lr=1e-4)
+
+    def step():
+        optim.zero_grad()
+        out = encoder(x, attention_mask=mask).last_hidden_state
+        loss = (out ** 2).mean()
+        loss.backward()
+        optim.step()
+
+    step()  # warmup
+    n_train = 2
+    start = time.perf_counter()
+    for _ in range(n_train):
+        step()
+    elapsed = time.perf_counter() - start
+    return {
+        "mmt_train_samples_per_sec": bs * n_train / elapsed,
+        "mmt_train_dims": (
+            "HF BertEncoder (the reference MMT's encoder class) 4L/768h/8hd, "
+            "bs 32, len 512, dropout 0.1, Adam (bench.py mmt_train dims)"
+        ),
+    }
+
+
+def measure_mcan(CfgNode) -> dict:
     import torch
 
     torch.manual_seed(0)
 
-    import builders  # noqa: F401  (populates reference registries)
     from builders.model_builder import META_ARCHITECTURE
     from utils.instance import InstanceList
 
@@ -177,7 +319,7 @@ def main():
     train_elapsed = time.perf_counter() - start
     train_sps = batch_size * n_train / train_elapsed
 
-    result = {
+    return {
         "reference": "hieunghia-pat/OpenViVQA @ /root/reference",
         "hardware": "CPU (torch " + torch.__version__ + ")",
         "model": "MCAN (mcan.yaml dims: d_model=512, 3 SA + 3 GA layers)",
@@ -186,7 +328,33 @@ def main():
         "mcan_eval_samples_per_sec": eval_sps,
         "mcan_train_samples_per_sec": train_sps,
     }
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--only", choices=("mcan", "mmf_greedy", "mmt_train"), default=None,
+        help="measure a single anchor (default: all)",
+    )
+    args = parser.parse_args()
+
+    CfgNode = install_stubs()
+    sys.path.insert(0, "/root/reference")
+    import builders  # noqa: F401  (populates reference registries)
+
     out_path = os.path.join(REPO, "BASELINE_MEASURED.json")
+    result = {}
+    if os.path.isfile(out_path):  # merge: keep anchors measured elsewhere
+        with open(out_path) as handle:
+            result = json.load(handle)
+
+    if args.only in (None, "mcan"):
+        result.update(measure_mcan(CfgNode))
+    if args.only in (None, "mmf_greedy"):
+        result.update(measure_mmf_greedy(CfgNode))
+    if args.only in (None, "mmt_train"):
+        result.update(measure_mmt_train())
+
     with open(out_path, "w") as handle:
         json.dump(result, handle, indent=2)
     print(json.dumps(result, indent=2))
