@@ -74,14 +74,92 @@ _WORKER = textwrap.dedent(
 )
 
 
-def test_two_process_sharding_and_eval_gather(tmp_path):
+_TRAIN_WORKER = textwrap.dedent(
+    """
+    import json, os, sys
+    os.environ["JAX_PLATFORM_NAME"] = "cpu"
+    os.environ.pop("JAX_PLATFORMS", None)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=2, process_id=pid
+    )
+    assert jax.process_count() == 2 and len(jax.devices()) == 2
+
+    import jax.numpy as jnp
+    import numpy as np
+    import flax.linen as nn
+
+    from openvivqa_tpu.parallel import mesh as pmesh
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Dense(32)(x))
+            return nn.Dense(8)(x)
+
+    model = Tiny()
+    rng = np.random.default_rng(0)  # same seed on both hosts
+    x = rng.normal(size=(8, 16)).astype(np.float32)
+    y = rng.normal(size=(8, 8)).astype(np.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    def loss_fn(p, bx, by):
+        return jnp.mean((model.apply(p, bx) - by) ** 2)
+
+    def step(p, bx, by):
+        loss, grads = jax.value_and_grad(loss_fn)(p, bx, by)
+        return jax.tree.map(lambda w, g: w - 0.1 * g, p, grads), loss
+
+    # single-device reference on the LOCAL device over the full batch
+    ref_params, ref_loss = jax.jit(step)(params, jnp.asarray(x), jnp.asarray(y))
+    ref_leaves = [np.asarray(l) for l in jax.tree.leaves(ref_params)]
+
+    # distributed: 2-device global data mesh (one device per process),
+    # production sharding helpers (parallel/mesh.py), GSPMD psum
+    mesh = pmesh.get_mesh()
+    d_params = jax.tree.map(
+        lambda l: jax.device_put(l, pmesh.replicate_spec(mesh)), params
+    )
+    batch = pmesh.shard_batch({"x": x, "y": y}, mesh)
+    dist_step = jax.jit(
+        step, out_shardings=(pmesh.replicate_spec(mesh),) * 2
+    )
+    d_updated, d_loss = dist_step(d_params, batch["x"], batch["y"])
+    d_leaves = [
+        np.asarray(l.addressable_data(0)) for l in jax.tree.leaves(d_updated)
+    ]
+    d_loss = float(np.asarray(d_loss.addressable_data(0)))
+
+    max_err = max(
+        float(np.max(np.abs(a - b))) for a, b in zip(ref_leaves, d_leaves)
+    )
+    checksum = float(sum(float(np.sum(l)) for l in d_leaves))
+    print(
+        "RESULT " + json.dumps(
+            {
+                "pid": pid,
+                "loss_ref": float(ref_loss),
+                "loss_dist": d_loss,
+                "max_param_err": max_err,
+                "checksum": checksum,
+            }
+        )
+    )
+    """
+)
+
+
+def _run_two_process(tmp_path, script):
     with socket.socket() as sock:
         sock.bind(("127.0.0.1", 0))
         port = sock.getsockname()[1]
     coord = f"127.0.0.1:{port}"
 
     worker = tmp_path / "worker.py"
-    worker.write_text(_WORKER)
+    worker.write_text(script)
 
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # no virtual 8-device mesh inside workers
@@ -108,6 +186,25 @@ def test_two_process_sharding_and_eval_gather(tmp_path):
         assert lines, out
         payload = json.loads(lines[-1][len("RESULT "):])
         results[payload["pid"]] = payload
+    return results
+
+
+def test_two_process_dp_train_step_matches_single_process(tmp_path):
+    """Each host holds half the global batch; the GSPMD-psum'd update
+    (params replicated, batch sharded via parallel/mesh.py) must equal a
+    single-device full-batch step on both hosts."""
+    results = _run_two_process(tmp_path, _TRAIN_WORKER)
+    for pid in (0, 1):
+        r = results[pid]
+        # mean-of-8 vs psum-of-two-mean-of-4: f32 reduction-order noise only
+        assert abs(r["loss_ref"] - r["loss_dist"]) < 1e-6, r
+        assert r["max_param_err"] < 1e-6, r
+    # both hosts hold the identical replicated updated params
+    assert results[0]["checksum"] == results[1]["checksum"]
+
+
+def test_two_process_sharding_and_eval_gather(tmp_path):
+    results = _run_two_process(tmp_path, _WORKER)
 
     # disjoint round-robin batch shards covering all 12 samples
     flat0 = [i for batch in results[0]["batches"] for i in batch]
