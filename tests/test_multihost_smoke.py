@@ -117,16 +117,34 @@ _TRAIN_WORKER = textwrap.dedent(
     ref_params, ref_loss = jax.jit(step)(params, jnp.asarray(x), jnp.asarray(y))
     ref_leaves = [np.asarray(l) for l in jax.tree.leaves(ref_params)]
 
-    # distributed: 2-device global data mesh (one device per process),
-    # production sharding helpers (parallel/mesh.py), GSPMD psum
-    mesh = pmesh.get_mesh()
-    d_params = jax.tree.map(
-        lambda l: jax.device_put(l, pmesh.replicate_spec(mesh)), params
-    )
-    batch = pmesh.shard_batch({"x": x, "y": y}, mesh)
-    dist_step = jax.jit(
-        step, out_shardings=(pmesh.replicate_spec(mesh),) * 2
-    )
+    mode = sys.argv[3] if len(sys.argv) > 3 else "dp"
+    if mode == "dp":
+        # 2-device global data mesh (one device per process), params
+        # replicated, batch sharded -> GSPMD psum over processes
+        mesh = pmesh.get_mesh()
+        d_params = jax.tree.map(
+            lambda l: jax.device_put(l, pmesh.replicate_spec(mesh)), params
+        )
+        batch = pmesh.shard_batch({"x": x, "y": y}, mesh)
+        out_spec = pmesh.replicate_spec(mesh)
+    else:
+        # (data=1, model=2) mesh: column-parallel kernels split across the
+        # two PROCESSES, batch replicated -> cross-process TP collectives
+        from jax.sharding import NamedSharding
+        mesh = pmesh.get_mesh_2d(model_parallel=2)
+        d_params = jax.tree.map(
+            lambda l: jax.device_put(
+                l, NamedSharding(mesh, pmesh.param_partition_spec(l, mesh))
+            ),
+            params,
+        )
+        assert any(  # the test is vacuous unless something actually shards
+            pmesh.param_partition_spec(l, mesh) != jax.sharding.PartitionSpec()
+            for l in jax.tree.leaves(params)
+        )
+        batch = pmesh.shard_batch({"x": x, "y": y}, mesh)  # data axis is 1
+        out_spec = pmesh.replicate_spec(mesh)
+    dist_step = jax.jit(step, out_shardings=(out_spec, out_spec))
     d_updated, d_loss = dist_step(d_params, batch["x"], batch["y"])
     d_leaves = [
         np.asarray(l.addressable_data(0)) for l in jax.tree.leaves(d_updated)
@@ -152,7 +170,7 @@ _TRAIN_WORKER = textwrap.dedent(
 )
 
 
-def _run_two_process(tmp_path, script):
+def _run_two_process(tmp_path, script, *extra_args):
     with socket.socket() as sock:
         sock.bind(("127.0.0.1", 0))
         port = sock.getsockname()[1]
@@ -168,7 +186,7 @@ def _run_two_process(tmp_path, script):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), coord, str(pid)],
+            [sys.executable, str(worker), coord, str(pid), *extra_args],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
             text=True,
         )
@@ -193,13 +211,25 @@ def test_two_process_dp_train_step_matches_single_process(tmp_path):
     """Each host holds half the global batch; the GSPMD-psum'd update
     (params replicated, batch sharded via parallel/mesh.py) must equal a
     single-device full-batch step on both hosts."""
-    results = _run_two_process(tmp_path, _TRAIN_WORKER)
+    results = _run_two_process(tmp_path, _TRAIN_WORKER, "dp")
     for pid in (0, 1):
         r = results[pid]
         # mean-of-8 vs psum-of-two-mean-of-4: f32 reduction-order noise only
         assert abs(r["loss_ref"] - r["loss_dist"]) < 1e-6, r
         assert r["max_param_err"] < 1e-6, r
     # both hosts hold the identical replicated updated params
+    assert results[0]["checksum"] == results[1]["checksum"]
+
+
+def test_two_process_tp_train_step_matches_single_process(tmp_path):
+    """Column-parallel kernels split ACROSS the two processes
+    ((data=1, model=2) mesh): the jitted step's cross-process TP
+    collectives must reproduce the single-device full-batch update."""
+    results = _run_two_process(tmp_path, _TRAIN_WORKER, "tp")
+    for pid in (0, 1):
+        r = results[pid]
+        assert abs(r["loss_ref"] - r["loss_dist"]) < 1e-6, r
+        assert r["max_param_err"] < 1e-6, r
     assert results[0]["checksum"] == results[1]["checksum"]
 
 
