@@ -20,6 +20,37 @@ LN_EPS = 1e-12
 _normal = nn.initializers.normal(stddev=0.02)
 
 
+def _xla_attention(
+    qp: jnp.ndarray,
+    kp: jnp.ndarray,
+    vp: jnp.ndarray,
+    attention_bias: Optional[jnp.ndarray],
+    num_heads: int,
+    hidden_size: int,
+    attn_dropout=None,
+) -> jnp.ndarray:
+    """The non-Pallas attention body on packed (b, S, h) projections — the
+    ONE copy both __call__ and decode_step fall back to, so scaling and
+    masking can never drift between the full-sequence and incremental
+    paths."""
+    head_dim = hidden_size // num_heads
+
+    def heads(x):
+        return x.reshape(x.shape[0], x.shape[1], num_heads, head_dim)
+
+    q, k, v = heads(qp), heads(kp), heads(vp)
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(float(head_dim))
+    if attention_bias is not None:
+        logits = logits + attention_bias
+    weights = jax.nn.softmax(logits, axis=-1)
+    if attn_dropout is not None:
+        weights = attn_dropout(weights)
+    context = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    return context.reshape(context.shape[0], context.shape[1], hidden_size)
+
+
 class BertSelfAttention(nn.Module):
     """q/k/v/out projections + softmax attention + residual LayerNorm.
 
@@ -69,7 +100,6 @@ class BertSelfAttention(nn.Module):
             should_use_fused,
         )
 
-        bs = hidden_states.shape[0]
         head_dim = self.hidden_size // self.num_heads
         qp = self.Dense_0(hidden_states)
         sk = k_cache.shape[1]
@@ -86,17 +116,9 @@ class BertSelfAttention(nn.Module):
                 qp, k_cache, v_cache, attention_bias, scale, self.num_heads
             )
         else:
-            q = qp.reshape(bs, -1, self.num_heads, head_dim)
-            k = k_cache.reshape(bs, -1, self.num_heads, head_dim)
-            v = v_cache.reshape(bs, -1, self.num_heads, head_dim)
-            logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-            ) * scale
-            if attention_bias is not None:
-                logits = logits + attention_bias
-            weights = jax.nn.softmax(logits, axis=-1)
-            context = jnp.einsum("bhqk,bkhd->bqhd", weights, v).reshape(
-                bs, -1, self.hidden_size
+            context = _xla_attention(
+                qp, k_cache, v_cache, attention_bias,
+                self.num_heads, self.hidden_size,
             )
         out = self.Dense_3(context)
         return self.LayerNorm_0(hidden_states + out)
@@ -161,22 +183,11 @@ class BertSelfAttention(nn.Module):
                 1.0 / float(head_dim) ** 0.5, self.num_heads,
             )
         else:
-            def heads(x):
-                return x.reshape(
-                    x.shape[0], x.shape[1], self.num_heads, head_dim
-                )
-
-            q, k, v = heads(qp), heads(kp), heads(vp)
-            logits = jnp.einsum(
-                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
-            ) / jnp.sqrt(float(head_dim))
-            if attention_bias is not None:
-                logits = logits + attention_bias
-            weights = jax.nn.softmax(logits, axis=-1)
-            weights = self.attn_dropout(weights, deterministic=not train)
-            context = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
-            context = context.reshape(
-                context.shape[0], context.shape[1], self.hidden_size
+            context = _xla_attention(
+                qp, kp, vp, attention_bias, self.num_heads, self.hidden_size,
+                attn_dropout=lambda w: self.attn_dropout(
+                    w, deterministic=not train
+                ),
             )
 
         out = self.Dense_3(context)
@@ -313,6 +324,13 @@ class BertEncoderStack(nn.Module):
         return_all: bool = False,
         return_layer_inputs: bool = False,
     ):
+        if return_all and return_layer_inputs:
+            # the early return below would silently drop all_states —
+            # callers needing both should make two calls (the layer inputs
+            # are the all-states list shifted by one plus hidden_states)
+            raise ValueError(
+                "return_all and return_layer_inputs are mutually exclusive"
+            )
         all_states: List[jnp.ndarray] = []
         layer_inputs: List[jnp.ndarray] = []
         for layer in self.layers:
@@ -366,7 +384,18 @@ class BertEncoderStack(nn.Module):
     ):
         """One new token through all layers: project ONLY the new token's
         K/V, write it at `pos`, attend over the joint pre-projected
-        [context, decoded-prefix] keys.  Returns (out, new_caches)."""
+        [context, decoded-prefix] keys.  Returns (out, new_caches).
+
+        Self-attention stacks only: a cross_attention=True stack must
+        drive its layers directly with per-layer cross_kv (the
+        mmf_variants.py incremental decoder pattern) — this method would
+        silently skip the cross sublayer."""
+        if self.cross_attention:
+            raise NotImplementedError(
+                "BertEncoderStack.decode_step does not thread cross_kv; "
+                "drive layer.decode_step(..., cross_kv=...) per layer "
+                "instead (see models/mmf_variants.py)"
+            )
         new_caches = []
         for i, layer in enumerate(self.layers):
             k_new, v_new = layer.project_kv(hidden_states)

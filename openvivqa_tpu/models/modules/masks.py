@@ -14,7 +14,9 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-# the reference writes -10e4 (i.e. -1e5); kept bit-identical for parity
+# the reference writes -10e4 (i.e. -1e5); kept bit-identical for parity.
+# CANONICAL copy — ops/fused_attention.py and ops/decode_step.py hold
+# equal duplicates (ops cannot import models without a cycle)
 MASK_VALUE = -10e4
 
 

@@ -43,6 +43,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# keep equal to modules/masks.py MASK_VALUE (and the copy in
+# ops/fused_attention.py) — ops cannot import from models without a cycle,
+# but the kernels mask the same additive biases callers build there
 MASK_VALUE = -10e4
 _LN_EPS = 1e-6  # flax nn.LayerNorm default
 
@@ -74,7 +77,16 @@ def decode_kernel_parts() -> frozenset:
     parts = os.environ.get("OPENVIVQA_DECODE_KERNEL_PARTS", "")
     if not parts:
         return frozenset({"layer"})
-    return frozenset(p.strip() for p in parts.split(",") if p.strip())
+    chosen = frozenset(p.strip().lower() for p in parts.split(",") if p.strip())
+    unknown = chosen - {"layer", "self", "cross", "ffn", "none"}
+    if unknown:
+        # a typo'd value would otherwise silently disable every fused
+        # kernel and the 1.42x beam speedup with it
+        raise ValueError(
+            f"OPENVIVQA_DECODE_KERNEL_PARTS: unknown part(s) {sorted(unknown)}; "
+            "expected comma-separated subset of layer,self,cross,ffn,none"
+        )
+    return chosen
 
 
 def _plan_batch_block(bs: int, fixed_bytes: int, per_row_bytes: int) -> Optional[int]:
@@ -145,7 +157,10 @@ def _self_attn_kernel(
     y_ref, ck_out, cv_out, cb_out, attn_scratch,
     *, scale, h, d,
 ):
-    t = t_ref[0]
+    # clamp like the XLA path's dynamic_update_slice: a t >= max_len
+    # overrun overwrites the last slot on BOTH paths instead of silently
+    # dropping the token only when the kernel is on
+    t = jnp.minimum(t_ref[0], ck_ref.shape[1] - 1)
     x = x_ref[:]
 
     k_new = _dot(x, wk_ref[:]) + bk_ref[0]
@@ -274,7 +289,8 @@ def _layer_kernel(
     y_ref, ck_out, cv_out, cb_out, attn_s,
     *, scale, h, d,
 ):
-    t = t_ref[0]
+    # clamp like the XLA path's dynamic_update_slice (see _self_attn_kernel)
+    t = jnp.minimum(t_ref[0], ck_ref.shape[1] - 1)
     x = x_ref[:]
 
     def dot_w(a, w_ref, b_ref):

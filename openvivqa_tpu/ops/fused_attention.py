@@ -71,6 +71,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# keep equal to modules/masks.py MASK_VALUE (and the copy in
+# ops/decode_step.py) — ops cannot import from models without a cycle
 MASK_VALUE = -10e4
 
 # measured crossover vs XLA (v5e): ViT's 197-key stream wins, MCAN's

@@ -16,7 +16,12 @@ _MIN_ROWS_FOR_MXU = 64
 
 
 def take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    """table (bs, N, d), ids (bs, L) int -> (bs, L, d)."""
+    """table (bs, N, d), ids (bs, L) int -> (bs, L, d).
+
+    Out-of-range ids (< 0 or >= N) return all-zero rows on every backend
+    (jax.nn.one_hot semantics); the take_along_axis fallback is normalized
+    to match — its raw JAX behavior (NaN fill for ids >= N, wraparound for
+    negatives) would let CPU-tested code behave differently on TPU."""
     if (
         jax.default_backend() == "tpu"
         and table.dtype in (jnp.float32, jnp.bfloat16)
@@ -30,7 +35,11 @@ def take_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
             preferred_element_type=table.dtype,
             precision=jax.lax.Precision.HIGHEST,
         )
-    return jnp.take_along_axis(table, ids[..., None], axis=1)
+    valid = (ids >= 0) & (ids < table.shape[1])
+    rows = jnp.take_along_axis(
+        table, jnp.clip(ids, 0, table.shape[1] - 1)[..., None], axis=1
+    )
+    return jnp.where(valid[..., None], rows, jnp.zeros((), table.dtype))
 
 
 def take_rows_shared(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:

@@ -174,3 +174,19 @@ def test_full_beam_search_kernel_vs_xla(beam_setup, monkeypatch, parts):
     np.testing.assert_allclose(
         np.asarray(lp_xla), np.asarray(lp_kernel), atol=1e-4
     )
+
+
+def test_decode_kernel_parts_rejects_typos(monkeypatch):
+    """A typo'd OPENVIVQA_DECODE_KERNEL_PARTS must fail loudly instead of
+    silently disabling every fused kernel (and the beam speedup with it)."""
+    from openvivqa_tpu.ops.decode_step import decode_kernel_parts
+
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL_PARTS", "self cross")
+    with pytest.raises(ValueError, match="unknown part"):
+        decode_kernel_parts()
+
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL_PARTS", "Layer")
+    assert decode_kernel_parts() == frozenset({"layer"})  # case-normalized
+
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL_PARTS", "self,ffn")
+    assert decode_kernel_parts() == frozenset({"self", "ffn"})

@@ -25,6 +25,20 @@ def test_take_rows_matches_take_along_axis():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_take_rows_out_of_range_rows_are_zero():
+    """Backend-uniform OOR semantics for the BATCHED lookup too: the raw
+    take_along_axis fallback would NaN-fill ids >= N and wrap negatives —
+    CPU-tested callers would behave differently on TPU's one-hot path."""
+    table = jnp.ones((1, 70, 3), jnp.float32) * 5.0
+    ids = jnp.asarray([[-1, 0, 69, 70, 200]], jnp.int32)
+    got = np.asarray(take_rows(table, ids))
+    np.testing.assert_array_equal(got[0, 0], np.zeros(3))
+    np.testing.assert_array_equal(got[0, 3], np.zeros(3))
+    np.testing.assert_array_equal(got[0, 4], np.zeros(3))
+    np.testing.assert_array_equal(got[0, 1], np.full(3, 5.0))
+    np.testing.assert_array_equal(got[0, 2], np.full(3, 5.0))
+
+
 def test_take_rows_shared_in_range():
     rng = np.random.default_rng(1)
     table = jnp.asarray(rng.normal(size=(80, 6)).astype(np.float32))

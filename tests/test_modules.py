@@ -301,3 +301,98 @@ def test_stateful_decode_odd_projection_widths(head, d_key, d_value, d_model):
         cache = mutated["cache"]
     assert out.shape == (bs, 1, d_model)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bert_stack_decode_guards():
+    """BertEncoderStack latent-trap guards: cross-attention stacks cannot
+    use the self-only stack decode_step (they must drive layers with
+    cross_kv — models/mmf_variants.py), and the mutually-destructive
+    return_all+return_layer_inputs combination raises instead of silently
+    dropping all_states."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from openvivqa_tpu.models.modules.bert import BertEncoderStack
+
+    x = jnp.zeros((2, 5, 16), jnp.float32)
+
+    cross = BertEncoderStack(
+        hidden_size=16, num_layers=1, num_heads=2, cross_attention=True
+    )
+    cvars = jax.jit(
+        lambda r, a: cross.init(
+            r, a, encoder_states=a, encoder_bias=None, train=False
+        )
+    )(jax.random.PRNGKey(0), x)
+    caches = (
+        (jnp.zeros((2, 8, 16), jnp.float32), jnp.zeros((2, 8, 16), jnp.float32)),
+    )
+    with pytest.raises(NotImplementedError, match="cross_kv"):
+        cross.apply(
+            cvars, x[:, :1], caches, jnp.int32(0), None,
+            method="decode_step",
+        )
+
+    plain = BertEncoderStack(hidden_size=16, num_layers=1, num_heads=2)
+    pvars = jax.jit(lambda r, a: plain.init(r, a))(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        plain.apply(pvars, x, return_all=True, return_layer_inputs=True)
+
+
+def test_bert_stack_decode_step_matches_full_forward():
+    """Direct stack-level pin of the incremental path: encoding [ctx|tokens]
+    with __call__ equals project_context + init_decode_caches + step-by-step
+    decode_step when the bias exposes keys causally (the fallback XLA
+    attention body is shared between both paths)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from openvivqa_tpu.models.modules.bert import BertEncoderStack
+    from openvivqa_tpu.models.modules.masks import MASK_VALUE
+
+    bs, C, T, h = 2, 6, 3, 16
+    rng = np.random.default_rng(0)
+    ctx = jnp.asarray(rng.normal(size=(bs, C, h)).astype(np.float32))
+    toks = jnp.asarray(rng.normal(size=(bs, T, h)).astype(np.float32))
+
+    stack = BertEncoderStack(hidden_size=h, num_layers=2, num_heads=2)
+    variables = jax.jit(lambda r, a: stack.init(r, a))(
+        jax.random.PRNGKey(1), ctx
+    )
+
+    # full forward over [ctx | toks] with context blind to the tokens and
+    # causal masking among tokens (the incremental decode's premise)
+    total = C + T
+    bias = np.zeros((bs, 1, total, total), np.float32)
+    bias[:, :, :C, C:] = MASK_VALUE  # context cannot see decoder slots
+    for i in range(T):
+        bias[:, :, C + i, C + i + 1:] = MASK_VALUE  # causal among tokens
+    full = stack.apply(
+        variables, jnp.concatenate([ctx, toks], axis=1),
+        attention_bias=jnp.asarray(bias),
+    )[:, C:]
+
+    # incremental: context encoded once, tokens stepped one at a time
+    ctx_bias = jnp.asarray(bias[:, :, :C, :C])
+    _, layer_inputs = stack.apply(
+        variables, ctx, attention_bias=ctx_bias, return_layer_inputs=True
+    )
+    ctx_kv = stack.apply(variables, layer_inputs, method="project_context")
+    caches = stack.init_decode_caches(ctx_kv, T)
+    outs = []
+    positions = jnp.arange(total)
+    for i in range(T):
+        step_bias = jnp.broadcast_to(
+            jnp.where(positions <= C + i, 0.0, MASK_VALUE)[None, None, None],
+            (bs, 1, 1, total),
+        )
+        out, caches = stack.apply(
+            variables, toks[:, i:i + 1], caches, jnp.int32(C + i), step_bias,
+            method="decode_step",
+        )
+        outs.append(out)
+    inc = jnp.concatenate(outs, axis=1)
+
+    np.testing.assert_allclose(np.asarray(full), np.asarray(inc), atol=1e-5)
