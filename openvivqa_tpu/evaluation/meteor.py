@@ -36,6 +36,7 @@ tests/test_evaluation.py pins hand-computed values for each piece.
 
 from __future__ import annotations
 
+import functools
 import gzip
 import os
 from typing import Dict, List, Optional, Tuple
@@ -78,6 +79,10 @@ def _stemmer():
 
 
 _STEM = _stemmer()
+if _STEM is not None:
+    # corpus scoring calls the stemmer O(samples x refs x tokens) times;
+    # per-token memoization makes it O(vocab)
+    _STEM = functools.lru_cache(maxsize=1 << 16)(_STEM)
 
 
 def _synonym_lookup():
@@ -98,6 +103,8 @@ def _synonym_lookup():
 
 
 _SYNSETS = _synonym_lookup()
+if _SYNSETS is not None:
+    _SYNSETS = functools.lru_cache(maxsize=1 << 16)(_SYNSETS)
 
 
 def _paraphrase_table() -> Optional[Dict[str, frozenset]]:
@@ -141,7 +148,22 @@ def _paraphrase_table() -> Optional[Dict[str, frozenset]]:
     return None
 
 
-_PARAPHRASES = _paraphrase_table()
+# lazily loaded on first paraphrase-stage use: a jar-scale table is tens of
+# millions of lines, and eager loading would block import (and pin the
+# symmetrised table in RAM) for every process that merely imports the
+# evaluation package — train-only steps included.  Tests/studies may still
+# assign _PARAPHRASES directly (None or a dict) to override.
+_UNLOADED = object()
+_PARAPHRASES: object = _UNLOADED
+
+
+def _paraphrases() -> Optional[Dict[str, frozenset]]:
+    global _PARAPHRASES
+    if _PARAPHRASES is _UNLOADED:
+        _PARAPHRASES = _paraphrase_table()
+    return _PARAPHRASES  # type: ignore[return-value]
+
+
 _PARAPHRASE_STAGE = 3
 
 # identity-keyed memo: real tables have millions of keys; scan once per
@@ -309,7 +331,7 @@ def _phrase_candidates(
     """Paraphrase-stage span matches (h_start, h_len, r_start, r_len, stage)
     from the loaded table.  1x1 spans that duplicate a token-stage pair are
     dropped (the lower stage weight always dominates there)."""
-    table = _PARAPHRASES
+    table = _paraphrases()
     if not table:
         return []
     max_len = _max_phrase_len(table)

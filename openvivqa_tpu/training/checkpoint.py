@@ -30,9 +30,14 @@ def promote(src_path: str, dst_path: str) -> None:
     parity).  Under the orbax backend the `.pth` file is only the host
     metadata pickle; the state lives in a sibling `.orbax` directory which
     must be copied too, otherwise load_checkpoint(best) falls back to the
-    flax branch and fails."""
+    flax branch and fails.  Primary-process only in multi-host runs (the
+    write sites are gated the same way — BaseTask.save_checkpoint)."""
     import shutil
 
+    from ..parallel.multihost import is_primary
+
+    if not is_primary():
+        return
     shutil.copyfile(src_path, dst_path)
     src_orbax = _orbax_dir(src_path)
     if os.path.isdir(src_orbax):

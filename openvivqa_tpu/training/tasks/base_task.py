@@ -220,6 +220,10 @@ class BaseTask:
         import json
         import time as _time
 
+        from ...parallel.multihost import is_primary
+
+        if not is_primary():  # one record per epoch, not one per process
+            return
         record = {"epoch": self.epoch, "time": _time.time(), **payload}
         with open(
             os.path.join(self.checkpoint_path, "metrics.jsonl"), "a"
@@ -232,6 +236,13 @@ class BaseTask:
 
     # -- checkpoints -----------------------------------------------------------
     def save_checkpoint(self, extras: Dict[str, Any]) -> None:
+        from ...parallel.multihost import is_primary
+
+        if not is_primary():
+            # params/opt-state are replicated (or re-shardable) — on a
+            # shared checkpoint dir, concurrent writers to the same tmp
+            # path would interleave into a corrupt pickle
+            return
         metadata = {
             "epoch": self.epoch,
             # dropout PRNG stream resumes exactly (base_task.py:97-112 saves

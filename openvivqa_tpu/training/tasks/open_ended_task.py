@@ -303,7 +303,9 @@ class OpenEndedTask(BaseTask):
                 self.state, device_batch, advantages, jnp.asarray(outs_np)
             )
             running_loss += float(loss)
-            running_reward += float(reward.mean())
+            # real rows only: averaging over the zeroed padding rows of the
+            # final partial batch would understate the epoch reward
+            running_reward += float(reward[:n_real].mean()) if n_real else 0.0
             count += 1
         logger.info(
             "Epoch %d - SCST: loss=%.4f reward=%.4f (%d it)",
@@ -311,21 +313,35 @@ class OpenEndedTask(BaseTask):
             running_reward / max(count, 1), count,
         )
 
-    def _switch_to_scst(self):
+    def _switch_to_scst(self, resume: bool = False):
         """Swap the optimizer to Adam(rl_learning_rate) for self-critical
         training (the protocol the reference keeps commented out,
-        open_ended_task.py:224-266, incl. reloading the best weights)."""
+        open_ended_task.py:224-266, incl. reloading the best weights).
+
+        Only the XE->RL TRANSITION reloads best and re-initializes the
+        optimizer; RESUMING a run already checkpointed in the RL phase
+        swaps just the tx — the restored params/Adam-moments/RNG ARE the
+        SCST progress and must survive (both phases are optax.adam, so the
+        checkpointed opt_state structure matches)."""
         from ..optim import make_optimizer
 
-        best = os.path.join(self.checkpoint_path, BEST_NAME)
-        if os.path.isfile(best):
-            self.load_checkpoint(best)
         tx = make_optimizer(lambda step: jnp.asarray(self.rl_learning_rate))
-        self.state = self.state.replace(tx=tx, opt_state=tx.init(self.state.params))
+        if resume:
+            self.state = self.state.replace(tx=tx)
+        else:
+            best = os.path.join(self.checkpoint_path, BEST_NAME)
+            if os.path.isfile(best):
+                self.load_checkpoint(best)
+            self.state = self.state.replace(
+                tx=tx, opt_state=tx.init(self.state.params)
+            )
         # the SCST step compiles against the new optimizer
         if hasattr(self, "_scst_jit"):
             del self._scst_jit
-        logger.info("Switching to SCST (lr=%s)", self.rl_learning_rate)
+        logger.info(
+            "Switching to SCST (lr=%s)%s",
+            self.rl_learning_rate, " [resume]" if resume else "",
+        )
 
     def start(self):
         last = os.path.join(self.checkpoint_path, LAST_NAME)
@@ -339,7 +355,7 @@ class OpenEndedTask(BaseTask):
             best_val_score, patience, use_rl = -1.0, 0, False
         use_scst = bool(self.config.TRAINING.get("USE_SCST", False))
         if use_rl:
-            self._switch_to_scst()
+            self._switch_to_scst(resume=True)
 
         while True:
             if use_rl:
@@ -359,7 +375,10 @@ class OpenEndedTask(BaseTask):
                 patience += 1
 
             exit_train = False
-            if patience == self.patience_limit:
+            # >= not ==: the reference's equality test
+            # (open_ended_task.py:251) never fires again after resuming a
+            # run that exited AT the limit (patience overshoots forever)
+            if patience >= self.patience_limit:
                 if use_scst and not use_rl:
                     use_rl = True
                     patience = 0

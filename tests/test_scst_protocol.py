@@ -26,3 +26,25 @@ def test_scst_switch(synthetic_data, tmp_path):
         metadata = pickle.load(handle)["metadata"]
     assert metadata["use_rl"] is True  # the switch happened
     assert task.epoch >= 2  # at least one SCST epoch ran
+
+    # -- resume mid-RL-phase keeps the SCST progress ------------------------
+    # A restart used to re-run the XE->RL transition (reload best, re-init
+    # the optimizer), silently discarding every SCST epoch since the last
+    # best promotion; resume must swap only the tx.
+    import jax
+    import numpy as np
+
+    task2 = build_task(config)
+    meta = task2.load_checkpoint(ckpt)
+    assert meta["use_rl"] is True
+    params_before = [np.asarray(x) for x in jax.tree.leaves(task2.state.params)]
+    opt_before = [np.asarray(x) for x in jax.tree.leaves(task2.state.opt_state)]
+    task2._switch_to_scst(resume=True)
+    for a, b in zip(
+        params_before, jax.tree.leaves(task2.state.params)
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    for a, b in zip(
+        opt_before, jax.tree.leaves(task2.state.opt_state)
+    ):
+        np.testing.assert_array_equal(a, np.asarray(b))
