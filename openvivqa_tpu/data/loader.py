@@ -74,8 +74,11 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def __len__(self) -> int:
-        num_shards, shard_id = self._shard_info()
-        return len(range(shard_id, self._n_batches(), num_shards))
+        num_shards, _ = self._shard_info()
+        n = self._n_batches()
+        if num_shards <= 1 or n == 0:
+            return n
+        return -(-n // num_shards)  # every shard padded up to the ceiling
 
     def _order(self) -> np.ndarray:
         indices = np.arange(len(self.dataset))
@@ -108,29 +111,64 @@ class DataLoader:
                 break
             spans.append(chunk)
         num_shards, shard_id = self._shard_info()
-        if num_shards > 1:
+        if num_shards > 1 and spans:
+            # pad to a COMMON per-shard count by wrapping (DistributedSampler
+            # semantics): every train/eval step is a global collective, so
+            # hosts with fewer batches would deadlock the mesh at the uneven
+            # tail.  Duplicated eval batches merge by key in
+            # gather_eval_dicts; duplicated train batches are a negligible
+            # reweighting of the epoch tail.
+            per_shard = -(-len(spans) // num_shards)
+            spans = spans + spans[: per_shard * num_shards - len(spans)]
             spans = spans[shard_id::num_shards]
 
         out_queue: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()  # consumer-abandoned-early signal
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    out_queue.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer():
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
                 try:
                     for span in spans:
-                        out_queue.put(self._make_batch(span, pool))
+                        if stop.is_set() or not _put(
+                            self._make_batch(span, pool)
+                        ):
+                            return
                 except BaseException as exc:  # surfaced on the consumer side
-                    out_queue.put(exc)
+                    _put(exc)
                 finally:
-                    out_queue.put(sentinel)
+                    try:
+                        out_queue.put_nowait(sentinel)
+                    except queue.Full:
+                        pass  # consumer is gone and has drained already
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            item = out_queue.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        thread.join()
+        try:
+            while True:
+                item = out_queue.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # breaking out mid-epoch (or closing the generator) must not
+            # leak the producer blocked in put() with its worker pool and
+            # prefetched batches: signal, drain, reap.
+            stop.set()
+            while True:
+                try:
+                    out_queue.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=10)

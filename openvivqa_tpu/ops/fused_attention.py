@@ -1018,6 +1018,12 @@ def fused_attention_packed_dropout(
     constants)."""
     biasf, _ = _normalise_bias_packed(bias, q.shape[0], q.shape[1], k.shape[1])
     q_block = plan_dropout_fwd_q_block(q.shape[1], k.shape[1], q.shape[2])
+    if q_block is None:  # same explicit guard as every sibling entry point
+        raise ValueError(
+            "no VMEM plan for dropout-attention forward at "
+            f"sq={q.shape[1]} sk={k.shape[1]} hd={q.shape[2]}; guard calls "
+            "with dropout_attention_viable"
+        )
     return _packed_dropout_fwd_call(
         seed, q, k, v, biasf, scale, num_heads, rate, q_block
     )
@@ -1036,6 +1042,14 @@ def _packed_dropout_bwd(scale, num_heads, rate, residuals, g):
     q, k, v, bias, seed = residuals
     biasf, _ = _normalise_bias_packed(bias, q.shape[0], q.shape[1], k.shape[1])
     q_block = plan_dropout_q_block(q.shape[1], k.shape[1], q.shape[2])
+    if q_block is None:
+        # fail at trace time with the guard's name, not a NoneType '//'
+        # deep inside the jitted bwd at the first grad step
+        raise ValueError(
+            "no VMEM plan for dropout-attention backward at "
+            f"sq={q.shape[1]} sk={k.shape[1]} hd={q.shape[2]}; guard calls "
+            "with dropout_attention_viable"
+        )
     dq, dk, dv = _packed_dropout_bwd_call(
         seed,
         q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),

@@ -165,3 +165,61 @@ def test_loader_process_sharding():
     # round-robin partition of the SAME global order
     for s, batches in enumerate(shard_batches):
         assert batches == full_batches[s::3]
+
+
+def test_loader_sharding_uneven_tail_pads_to_equal_counts():
+    """When batches don't divide evenly across shards, every shard is
+    padded to the SAME count by wrapping — per-host step counts must match
+    or multi-host collectives deadlock at the tail.  Union still covers
+    every batch."""
+    from openvivqa_tpu.data.loader import DataLoader
+
+    class Ds:
+        def __len__(self):
+            return 28  # 7 batches of 4 over 3 shards -> per-shard 3
+
+        def __getitem__(self, i):
+            return Instance(id=i, value=np.asarray([i], np.float32))
+
+    def ids(loader):
+        return [tuple(np.asarray(b["id"]).tolist()) for b in loader]
+
+    full = DataLoader(Ds(), batch_size=4, shuffle=True, seed=5,
+                      pad_last_batch=False, num_workers=1)
+    shards = [
+        DataLoader(Ds(), batch_size=4, shuffle=True, seed=5,
+                   pad_last_batch=False, num_workers=1,
+                   num_shards=3, shard_id=s)
+        for s in range(3)
+    ]
+    full_batches = ids(full)
+    assert len(full_batches) == 7
+    shard_batches = [ids(s) for s in shards]
+    assert [len(b) for b in shard_batches] == [3, 3, 3]
+    assert [len(s) for s in shards] == [3, 3, 3]
+    covered = {b for batches in shard_batches for b in batches}
+    assert covered == set(full_batches)  # wrap duplicates, never drops
+
+
+def test_loader_abandoned_iterator_reaps_producer():
+    """Breaking out of an epoch early must not leak the prefetch producer
+    thread blocked in queue.put."""
+    import threading
+
+    from openvivqa_tpu.data.loader import DataLoader
+
+    class Ds:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return Instance(id=i, value=np.asarray([i], np.float32))
+
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(DataLoader(Ds(), batch_size=2, num_workers=2, prefetch=2))
+        next(it)
+        it.close()  # what GC does when the iterator is abandoned
+    # generous slack for unrelated daemon threads, but 5 leaked producers
+    # (+ their 2-worker pools) would exceed it
+    assert threading.active_count() <= before + 3
