@@ -64,7 +64,12 @@ class BaseDataset:
         return {image["id"]: image for image in json_data["images"]}
 
     def _pad_key(self, key: str, array: np.ndarray) -> np.ndarray:
-        if array.ndim < 1 or array.shape[0] <= 1:
+        # per-region streams are (n, d); pad them ALL (even n == 1 — a
+        # single-region image must not emit its own XLA shape).  Scalars and
+        # 1-D arrays are metadata (e.g. an [w, h] pair), never region
+        # streams in any reference feature schema — padding them to
+        # max_regions would corrupt the field.
+        if array.ndim < 2:
             return array
         if key.startswith("grid"):
             if self.max_grids is None:
@@ -96,9 +101,12 @@ class BaseDataset:
         features: Dict[str, Any] = {}
         for key, value in raw.items():
             if isinstance(value, np.ndarray) and value.dtype != object:
-                features[key] = self._pad_key(
-                    key, np.asarray(value, dtype=np.float32)
-                )
+                # floats normalise to f32 (halves H2D vs f64 exports);
+                # integer arrays keep their dtype — the reference preserves
+                # it (base_dataset.py:27-33) and ids/counts must stay exact
+                if np.issubdtype(value.dtype, np.floating):
+                    value = np.asarray(value, dtype=np.float32)
+                features[key] = self._pad_key(key, value)
             else:
                 features[key] = value
         if self.cache_features:

@@ -28,8 +28,13 @@ class _SceneTextMixin:
         # iterative_m4c.yaml omits MAX_SCENE_TEXT in the dataset section
         # (a latent reference crash); default to the reference's usual cap
         self.max_scene_text = int(config.get("MAX_SCENE_TEXT", 100) or 100)
+        self._scene_text_cache: Dict[int, Dict[str, Any]] = {}
 
     def load_scene_text_features(self, image_id: int) -> Dict[str, Any]:
+        # honor CACHE_FEATURES here too: one sample per (question, answer)
+        # re-reads the same image's scene-text file many times per epoch
+        if self.cache_features and image_id in self._scene_text_cache:
+            return self._scene_text_cache[image_id]
         feature_file = os.path.join(
             self.scene_text_features_path, f"{image_id}.npy"
         )
@@ -46,9 +51,20 @@ class _SceneTextMixin:
         n = order.size
         k = self.max_scene_text
 
-        def take_pad(value, fill=0.0):
+        def take_pad(value, fill=0.0, key=""):
             if isinstance(value, np.ndarray) and value.dtype != object:
-                value = np.asarray(value, np.float32)[order]
+                value = np.asarray(value, np.float32)
+                if value.ndim == 1 and value.size == 0 and key:
+                    # a zero-detection export collapsed to shape (0,): the
+                    # feature width is unrecoverable and padding would emit
+                    # a (k, 1) block that crashes the joint concat later
+                    # with no mention of the culprit
+                    raise ValueError(
+                        f"{feature_file}: '{key}' has collapsed empty shape "
+                        "(0,); re-export zero-detection images with an "
+                        "explicit (0, d) array"
+                    )
+                value = value[order]
                 if value.ndim == 1:
                     value = value[:, None]
                 out = np.full((k,) + value.shape[1:], fill, np.float32)
@@ -60,14 +76,18 @@ class _SceneTextMixin:
 
         texts = take_pad(list(raw["texts"]))
         features: Dict[str, Any] = {
-            "ocr_det_features": take_pad(raw["det_features"]),
-            "ocr_rec_features": take_pad(raw["rec_features"]),
+            "ocr_det_features": take_pad(raw["det_features"], key="det_features"),
+            "ocr_rec_features": take_pad(raw["rec_features"], key="rec_features"),
             "ocr_texts": texts,
-            "ocr_boxes": take_pad(raw["boxes"]),
+            "ocr_boxes": take_pad(raw["boxes"], key="boxes"),
             "ocr_scores": take_pad(raw["scores"])[:, 0],
         }
         if "fasttext_features" in raw:
-            features["ocr_fasttext_features"] = take_pad(raw["fasttext_features"])
+            features["ocr_fasttext_features"] = take_pad(
+                raw["fasttext_features"], key="fasttext_features"
+            )
+        if self.cache_features:
+            self._scene_text_cache[image_id] = features
         return features
 
     def merged_features(self, image_id: int) -> Dict[str, Any]:

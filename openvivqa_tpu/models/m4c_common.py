@@ -155,16 +155,12 @@ class PrevPredEmbeddings(nn.Module):
 
         ans_table, ocr_table = table
         seq_length = prev_inds.shape[1]
-        # split lookup: out-of-range ids yield zero rows in the shared
-        # lookup, and the OCR half is masked explicitly, so the sum equals
-        # the single concat-table gather bit-for-bit
+        # split lookup: out-of-range ids (< 0 or >= N) yield zero rows in
+        # BOTH lookups (the ops/gather contract, uniform across backends),
+        # so the sum equals the single concat-table gather bit-for-bit
         fixed_rows = take_rows_shared(ans_table, prev_inds)
-        ocr_ids = prev_inds - ans_num
-        in_ocr = (ocr_ids >= 0)[..., None]
-        ocr_rows = batch_gather(
-            ocr_table, jnp.clip(ocr_ids, 0, ocr_table.shape[1] - 1)
-        )
-        raw_dec_emb = fixed_rows + jnp.where(in_ocr, ocr_rows, 0.0)
+        ocr_rows = batch_gather(ocr_table, prev_inds - ans_num)
+        raw_dec_emb = fixed_rows + ocr_rows
         positions = self.Embed_0(
             jnp.arange(seq_length)[None, :] + position_offset
         )

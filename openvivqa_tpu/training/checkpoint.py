@@ -62,6 +62,15 @@ def save_checkpoint(
     with open(tmp_path, "wb") as handle:
         pickle.dump(payload, handle)
     os.replace(tmp_path, path)
+    # a stale .orbax sibling from an earlier OPENVIVQA_CKPT_BACKEND=orbax
+    # run would shadow this pickle on the next load (load_checkpoint
+    # dispatches on dir presence) and silently resume OLD weights with NEW
+    # metadata — the pair must stay consistent
+    stale = _orbax_dir(path)
+    if os.path.isdir(stale):
+        import shutil
+
+        shutil.rmtree(stale)
 
 
 def load_checkpoint(
@@ -86,30 +95,52 @@ def _orbax_dir(path: str) -> str:
 
 
 def _save_orbax(path: str, state_pytree: Any, metadata: Dict[str, Any]) -> None:
-    """Orbax backend (OPENVIVQA_CKPT_BACKEND=orbax): async-capable sharded
-    checkpointing for multi-host runs; the `.pth` file stays a pickle of
-    host metadata so `last/best` promotion-by-copy semantics still work."""
+    """Orbax backend (OPENVIVQA_CKPT_BACKEND=orbax); the `.pth` file stays
+    a pickle of host metadata so `last/best` promotion-by-copy semantics
+    still work.  State is gathered to host numpy on the primary process
+    (single-controller semantics — a multi-host FSDP save would need
+    all-process participation; re-sharded RESUME from a full host
+    checkpoint is what test_task_sharding pins).
+
+    Durability: the new state is written to a sibling tmp dir and swapped
+    in (old renamed aside, new renamed into place) so a preemption
+    mid-save never destroys the previous resumable checkpoint; the
+    metadata pickle is replaced last."""
     import shutil
 
     import jax
     import orbax.checkpoint as ocp
 
     target = _orbax_dir(path)
-    if os.path.isdir(target):
-        shutil.rmtree(target)
+    tmp = target + ".tmp"
+    old = target + ".old"
+    for leftover in (tmp, old):
+        if os.path.isdir(leftover):
+            shutil.rmtree(leftover)
     checkpointer = ocp.StandardCheckpointer()
-    checkpointer.save(target, jax.tree.map(np.asarray, state_pytree))
+    checkpointer.save(tmp, jax.tree.map(np.asarray, state_pytree))
     checkpointer.wait_until_finished()
-    with open(path, "wb") as handle:
+    if os.path.isdir(target):
+        os.rename(target, old)
+    os.rename(tmp, target)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    tmp_pth = path + ".tmp"
+    with open(tmp_pth, "wb") as handle:
         pickle.dump(
             {"metadata": metadata, "numpy_rng_state": np.random.get_state()},
             handle,
         )
+    os.replace(tmp_pth, path)
 
 
 def _load_orbax(path: str, state_template: Any) -> Optional[Dict[str, Any]]:
     import orbax.checkpoint as ocp
 
+    if not os.path.exists(path):
+        # .orbax dir without its metadata pickle (crash window): honor the
+        # Optional contract like the flax branch instead of raising
+        return None
     checkpointer = ocp.StandardCheckpointer()
     state = checkpointer.restore(
         _orbax_dir(path), target=jax.tree.map(np.asarray, state_template)
