@@ -29,7 +29,10 @@ class MultiModalVocab(Vocab):
         self.box_token = section.get("BOX_TOKEN", "<box>")
         self.question_token = section.get("QUESTION_TOKEN", "<question>")
         self.answer_token = section.get("ANSWER_TOKEN", "<answer>")
-        super().__init__(config)
+        # the base vocab must read TOKENIZER/JSON_PATH/specials from the
+        # SAME section the modality tokens came from — mixing layers would
+        # crash (full-config layout) or mix token sources
+        super().__init__(section)
 
     def special_tokens(self) -> List[str]:
         return [

@@ -64,11 +64,20 @@ class OcrVocab(Vocab):
     ) -> List[int]:
         """Each answer word maps to its fixed-vocab id or (randomly, when it
         also appears in the OCR tokens) to an OCR slot id
-        (ocr_vocab.py:84-100 parity)."""
+        (ocr_vocab.py:84-100 parity).  Divergence: the reference indexes
+        stoi[word] directly and CRASHES on an out-of-vocab answer word
+        (plain dict, vocab.py:51); here the fixed-vocab id participates
+        only when the word is in vocab, and <unk> is used only when no OCR
+        slot matches either — so copy-head targets are never diluted by
+        <unk> when the word exists in the scene text."""
         indices = []
         for word in text:
-            matched = [self.stoi.get(word, self.unk_idx)]
+            matched = []
+            if word in self.stoi:
+                matched.append(self.stoi[word])
             matched.extend(oov2inds.get(word, []))
+            if not matched:
+                matched = [self.unk_idx]
             indices.append(matched[np.random.choice(len(matched))])
         return indices
 
@@ -150,18 +159,30 @@ class OcrClassificationVocab(ClassificationVocab):
         if text in self.atoi:
             idx = self.atoi[text]
         else:
-            # OCR-only answers: first matching OCR slot
-            idx = self.total_answers
+            # OCR-only answers: first matching OCR slot.  No match at all is
+            # a data error — silently labelling slot 0 (an unrelated OCR
+            # token) would corrupt training targets and eval accuracy; the
+            # reference fails loudly too (atoi KeyError,
+            # ocr_classification_vocab.py:20)
+            idx = None
             for offset, token in enumerate(ocr_tokens):
                 if token == text:
                     idx = self.total_answers + offset
                     break
+            if idx is None:
+                raise KeyError(
+                    f"answer '{text}' is neither a known class nor among "
+                    "the sample's OCR tokens — rebuild the vocab with every "
+                    "split's answers (JSON_PATH.TEST included)"
+                )
         return np.asarray([idx], np.int32)
 
     def decode_answer(
-        self, answer_vecs, list_ocr_tokens: List[List[str]], join_words: bool = False,
+        self, answer_vecs, list_ocr_tokens: List[List[str]], join_words: bool = True,
         **kwargs,
     ) -> Union[List[str], List[List[str]]]:
+        # default True matches the reference contract
+        # (ocr_classification_vocab.py decode_answer join_word=True)
         join_words = kwargs.get("join_word", join_words)
         answers = []
         flat = np.asarray(answer_vecs).reshape(-1).tolist()

@@ -24,21 +24,29 @@ def _t(array) -> np.ndarray:
     return np.asarray(array.detach().cpu().numpy(), np.float32)
 
 
+def _linear(state_dict: Dict, prefix: str) -> Dict:
+    return {
+        "kernel": _t(state_dict[f"{prefix}.weight"]).T,
+        "bias": _t(state_dict[f"{prefix}.bias"]),
+    }
+
+
+def _layer_norm(state_dict: Dict, prefix: str) -> Dict:
+    return {
+        "scale": _t(state_dict[f"{prefix}.weight"]),
+        "bias": _t(state_dict[f"{prefix}.bias"]),
+    }
+
+
 def convert_bert_weights(state_dict: Dict, num_layers: int) -> Dict:
     """torch BertModel state_dict -> {'embeddings': ..., 'encoder': ...}
     param trees for our BertEmbeddings / BertEncoderStack."""
 
     def linear(prefix):
-        return {
-            "kernel": _t(state_dict[f"{prefix}.weight"]).T,
-            "bias": _t(state_dict[f"{prefix}.bias"]),
-        }
+        return _linear(state_dict, prefix)
 
     def layer_norm(prefix):
-        return {
-            "scale": _t(state_dict[f"{prefix}.weight"]),
-            "bias": _t(state_dict[f"{prefix}.bias"]),
-        }
+        return _layer_norm(state_dict, prefix)
 
     embeddings = {
         "Embed_0": {
@@ -103,16 +111,10 @@ def convert_vit_weights(state_dict: Dict, num_layers: int) -> Dict:
     out); the final `layernorm` is what makes last_hidden_state."""
 
     def linear(prefix):
-        return {
-            "kernel": _t(state_dict[f"{prefix}.weight"]).T,
-            "bias": _t(state_dict[f"{prefix}.bias"]),
-        }
+        return _linear(state_dict, prefix)
 
     def layer_norm(prefix):
-        return {
-            "scale": _t(state_dict[f"{prefix}.weight"]),
-            "bias": _t(state_dict[f"{prefix}.bias"]),
-        }
+        return _layer_norm(state_dict, prefix)
 
     backbone = {}
     for i in range(num_layers):
@@ -206,16 +208,10 @@ def convert_albert_weights(
     encoder.albert_layer_groups.{g}.albert_layers.{j}."""
 
     def linear(prefix):
-        return {
-            "kernel": _t(state_dict[f"{prefix}.weight"]).T,
-            "bias": _t(state_dict[f"{prefix}.bias"]),
-        }
+        return _linear(state_dict, prefix)
 
     def layer_norm(prefix):
-        return {
-            "scale": _t(state_dict[f"{prefix}.weight"]),
-            "bias": _t(state_dict[f"{prefix}.bias"]),
-        }
+        return _layer_norm(state_dict, prefix)
 
     params = {
         "embeddings": {
@@ -263,16 +259,10 @@ def convert_deberta_v2_weights(state_dict: Dict, num_layers: int) -> Dict:
     dedicated pos projections) convert when present."""
 
     def linear(prefix):
-        return {
-            "kernel": _t(state_dict[f"{prefix}.weight"]).T,
-            "bias": _t(state_dict[f"{prefix}.bias"]),
-        }
+        return _linear(state_dict, prefix)
 
     def layer_norm(prefix):
-        return {
-            "scale": _t(state_dict[f"{prefix}.weight"]),
-            "bias": _t(state_dict[f"{prefix}.bias"]),
-        }
+        return _layer_norm(state_dict, prefix)
 
     params = {
         "word_embeddings": {
@@ -376,7 +366,10 @@ def graft_with_padding(target: Dict, converted: Dict, path: str = "") -> Dict:
         if have.shape == want.shape:
             out[key] = have
         elif (
-            have.ndim == want.ndim
+            key == "embedding"  # nn.Embed tables ONLY: a Dense kernel that
+            # differs in dim 0 (e.g. checkpoint d_ff vs configured D_FF) is
+            # a real config mismatch and must raise, not silently truncate
+            and have.ndim == want.ndim
             and have.ndim >= 2
             and have.shape[1:] == want.shape[1:]
         ):

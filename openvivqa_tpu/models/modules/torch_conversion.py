@@ -132,7 +132,9 @@ def guided_encoder(sd: StateDict, name: str, n_layers: int) -> Dict:
 def decoder(sd: StateDict, name: str, n_layers: int) -> Dict:
     scope = sd.scope(name)
     out = {
-        "word_emb": {"embedding": scope["word_emb.components.weight"]},
+        # full dispatch (plain / pretrained-vectors / LSTM variants) — the
+        # flax Decoder's word_emb is a build_text_embedding module
+        "word_emb": convert_text_embedding(scope, "word_emb"),
         "fc": {"kernel": scope["fc.weight"].T},
         **{
             f"layer_{i}": decoder_layer(scope, f"layers.{i}")
@@ -147,9 +149,7 @@ def convert_iterative_mcan(state_dict: Mapping[str, Any], config) -> Dict:
     sd = StateDict(state_dict)
     return {
         "vision_embedding": {"Dense_0": linear(sd, "vision_embedding.proj")},
-        "text_embedding": {
-            "embedding": sd["text_embedding.components.weight"]
-        },
+        "text_embedding": convert_text_embedding(sd, "text_embedding"),
         "self_encoder": encoder(sd, "self_encoder", config.SELF_ENCODER.LAYERS),
         "guided_encoder": guided_encoder(
             sd, "guided_encoder", config.GUIDED_ENCODER.LAYERS
@@ -297,20 +297,21 @@ def feature_box_encoding(
     }
 
 
-def convert_mmf_m4c(state_dict: Mapping[str, Any], config) -> Dict:
+def convert_mmf_m4c(
+    state_dict: Mapping[str, Any], config, include_text_bert: bool = True
+) -> Dict:
     """Trained reference MMF_M4C / MMF_ImprovedDecodingM4C state_dict ->
     our param tree (identical module layout in both, mmf_m4c.py:25-113).
-    The unused reference param `ocr_text_layer_norm` is dropped."""
+    The unused reference param `ocr_text_layer_norm` is dropped.
+
+    include_text_bert=False skips the standard TextBert scope for variants
+    whose question stream is NOT a plain TextBert (MMF_LanguageAdaptiveM4C
+    stores an AutoModel under text_bert.embedding.* — reading
+    text_bert.embeddings.* would KeyError on every real checkpoint)."""
     sd = StateDict(state_dict)
     mmt_cfg = config.get("MMT") or config.get("ENCODER")
     mmt_layers = mmt_cfg.get("NUM_HIDDEN_LAYERS", mmt_cfg.get("LAYERS", 4))
     params = {
-        "text_bert": {
-            "BertEmbeddings_0": hf_bert_embeddings(sd, "text_bert.embeddings"),
-            "BertEncoderStack_0": hf_bert_encoder(
-                sd, "text_bert.encoder", config.TEXT_BERT.NUM_HIDDEN_LAYERS
-            ),
-        },
         "obj_encoding": feature_box_encoding(
             sd, "linear_obj_feat_to_mmt_in", "linear_obj_bbox_to_mmt_in",
             "obj_feat_layer_norm", "obj_bbox_layer_norm",
@@ -332,8 +333,15 @@ def convert_mmf_m4c(state_dict: Mapping[str, Any], config) -> Dict:
             "Dense_1": linear(sd, "ocr_ptr_net.key"),
         },
     }
-    if "text_bert_out_linear.weight" in sd:
-        params["text_bert_out_linear"] = linear(sd, "text_bert_out_linear")
+    if include_text_bert:
+        params["text_bert"] = {
+            "BertEmbeddings_0": hf_bert_embeddings(sd, "text_bert.embeddings"),
+            "BertEncoderStack_0": hf_bert_encoder(
+                sd, "text_bert.encoder", config.TEXT_BERT.NUM_HIDDEN_LAYERS
+            ),
+        }
+        if "text_bert_out_linear.weight" in sd:
+            params["text_bert_out_linear"] = linear(sd, "text_bert_out_linear")
     return params
 
 
@@ -362,9 +370,9 @@ def convert_mmf_language_adaptive(state_dict: Mapping[str, Any], config) -> Dict
     from .hf_conversion import convert_bert_weights, convert_roberta_weights
 
     sd = StateDict(state_dict)
-    params = convert_mmf_m4c(state_dict, config)
-    del params["text_bert"]  # replaced by the adaptive trio below
-    params.pop("text_bert_out_linear", None)
+    # the adaptive trio below replaces the standard TextBert scope, whose
+    # keys do not exist in an adaptive checkpoint
+    params = convert_mmf_m4c(state_dict, config, include_text_bert=False)
 
     prefix = "text_bert.embedding."
     backbone_sd = {

@@ -431,3 +431,120 @@ def test_language_adaptive_text_path_matches_torch():
     np.testing.assert_allclose(
         np.asarray(got)[valid], want[valid], atol=5e-5
     )
+
+
+def test_language_adaptive_full_converter_structural(refpkg):
+    """convert_mmf_language_adaptive on a reference-layout checkpoint.
+
+    A real MMF_LanguageAdaptiveM4C checkpoint has NO text_bert.embeddings.*
+    keys — its question stream is a frozen AutoModel under
+    text_bert.embedding.* plus a projection and fine-tune encoder
+    (mmf_language_adaptive_m4c.py:204-251).  The converter must skip the
+    standard TextBert scope (it used to KeyError there) and produce a tree
+    that matches our model's init structure leaf-for-leaf and runs."""
+    import transformers
+    from transformers.models.bert.modeling_bert import BertEncoder
+
+    from openvivqa_tpu.builders import META_ARCHITECTURE
+    from openvivqa_tpu.models.modules.torch_conversion import (
+        convert_mmf_language_adaptive,
+    )
+
+    D_LANG = 16
+    body_cfg = {
+        "ARCHITECTURE": "MMF_M4C",
+        "DEVICE": "cpu",
+        "D_MODEL": H,
+        "MMT": {
+            "HIDDEN_SIZE": H, "NUM_HIDDEN_LAYERS": 2,
+            "NUM_ATTENTION_HEADS": HEADS, "INTERMEDIATE_SIZE": 3072,
+        },
+        "TEXT_BERT": {
+            "HIDDEN_SIZE": H, "NUM_HIDDEN_LAYERS": 1,
+            "LOAD_PRETRAINED": False, "PRETRAINED_NAME": None,
+            "INTERMEDIATE_SIZE": 3072,
+        },
+        "OBJECT_EMBEDDING": {"D_FEATURE": 8, "DROPOUT": 0.0},
+        "OCR_EMBEDDING": {"D_FEATURE": 300 + 256 + 12, "DROPOUT": 0.0},
+        "OCR_PTR_NET": {"HIDDEN_SIZE": H, "QUERY_KEY_SIZE": 16},
+    }
+    torch.manual_seed(3)
+    ref_body = sys.modules["refpkg.mmf_m4c"].MMF_M4C(_ns(body_cfg), RefVocab())
+    sd = {
+        k: v
+        for k, v in ref_body.state_dict().items()
+        if not k.startswith("text_bert.")
+    }
+
+    # the adaptive trio, exactly as the reference lays it out
+    bb_cfg = transformers.BertConfig(
+        vocab_size=120, hidden_size=D_LANG, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=64, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    backbone = transformers.BertModel(bb_cfg, add_pooling_layer=False)
+    proj = torch.nn.Linear(D_LANG, H)
+    fine_cfg = transformers.BertConfig(
+        hidden_size=H, num_hidden_layers=1, num_attention_heads=HEADS,
+        intermediate_size=3072, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    fine_cfg._attn_implementation = "eager"
+    fine = BertEncoder(fine_cfg)
+    sd.update({f"text_bert.embedding.{k}": v
+               for k, v in backbone.state_dict().items()})
+    sd.update({f"text_bert.text_bert_out_linear.{k}": v
+               for k, v in proj.state_dict().items()})
+    sd.update({f"text_bert.encoder.{k}": v
+               for k, v in fine.state_dict().items()})
+
+    cfg = ConfigNode(body_cfg).merged(
+        {
+            "ARCHITECTURE": "MMF_LanguageAdaptiveM4C",
+            "DECODING_MODE": "incremental",
+            "TEXT_BERT": {
+                "D_LANGUAGE": D_LANG, "PRETRAINED_LAYERS": 1,
+                "PRETRAINED_VOCAB_SIZE": 120, "PRETRAINED_HEADS": 2,
+                "PRETRAINED_INTERMEDIATE_SIZE": 32,
+                "PRETRAINED_NAME": "test-tiny-bert",
+            },
+        }
+    )
+    converted = convert_mmf_language_adaptive(sd, cfg)
+
+    ours = META_ARCHITECTURE.get("MMF_LanguageAdaptiveM4C")(cfg, RefVocab())
+    rng = np.random.default_rng(9)
+    batch = {
+        "question_tokens": jnp.asarray(
+            rng.integers(4, 120, (2, QLEN)).astype(np.int32)
+        ),
+        "region_features": jnp.asarray(
+            rng.normal(size=(2, N_OBJ, 8)).astype(np.float32)
+        ),
+        "region_boxes": jnp.zeros((2, N_OBJ, 4), jnp.float32),
+        "ocr_fasttext_features": jnp.asarray(
+            rng.normal(size=(2, N_OCR, 300)).astype(np.float32)
+        ),
+        "ocr_rec_features": jnp.zeros((2, N_OCR, 256), jnp.float32),
+        "ocr_det_features": jnp.zeros((2, N_OCR, 12), jnp.float32),
+        "ocr_boxes": jnp.zeros((2, N_OCR, 4), jnp.float32),
+        "answer_tokens": jnp.ones((2, MAXA), jnp.int32),
+    }
+    shapes = jax.eval_shape(
+        lambda r: ours.init({"params": r, "dropout": r}, batch, train=False),
+        jax.random.PRNGKey(0),
+    )["params"]
+    want = {
+        jax.tree_util.keystr(p): leaf.shape
+        for p, leaf in jax.tree_util.tree_leaves_with_path(shapes)
+    }
+    got = {
+        jax.tree_util.keystr(p): np.asarray(leaf).shape
+        for p, leaf in jax.tree_util.tree_leaves_with_path(converted)
+    }
+    assert want == got
+
+    params = jax.tree.map(jnp.asarray, converted)
+    scores = ours.apply({"params": params}, batch, train=False)["scores"]
+    assert np.isfinite(np.asarray(scores)).all()
