@@ -146,10 +146,11 @@ class DataLoader:
                 except BaseException as exc:  # surfaced on the consumer side
                     _put(exc)
                 finally:
-                    try:
-                        out_queue.put_nowait(sentinel)
-                    except queue.Full:
-                        pass  # consumer is gone and has drained already
+                    # BLOCKING (stop-aware) put: a slow consumer may leave
+                    # the queue momentarily full — dropping the sentinel
+                    # here would strand it in get() forever.  _put aborts
+                    # only when the consumer has signalled stop.
+                    _put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

@@ -79,6 +79,17 @@ class _ProjectionMixin:
         import math
 
         scale = 1.0 / math.sqrt(self.d_k)
+        if attention_bias is not None and attention_bias.ndim != 4:
+            if attention_bias.ndim == 2:
+                # (bs, sk) key-padding bias: broadcast over heads/queries.
+                # Leading-axis padding would land batch on the QUERY axis
+                # and mask the wrong samples.
+                attention_bias = attention_bias[:, None, None, :]
+            else:
+                raise ValueError(
+                    "attention_bias must be 4-D (bs/1, h/1, sq/1, sk) or "
+                    f"2-D (bs, sk); got ndim={attention_bias.ndim}"
+                )
         from ...ops.fused_attention import (
             flat_attention_viable,
             fused_attention,
@@ -92,10 +103,6 @@ class _ProjectionMixin:
         if should_use_fused(
             q.shape[2], k.shape[2], self.d_k
         ) and flat_attention_viable(q.shape[2], k.shape[2], self.d_k):
-            if attention_bias is not None and attention_bias.ndim != 4:
-                attention_bias = attention_bias.reshape(
-                    (1,) * (4 - attention_bias.ndim) + attention_bias.shape
-                )
             out = fused_attention(q, k, v, attention_bias, scale)
         else:
             logits = jnp.einsum(
@@ -577,9 +584,10 @@ class MultiHeadAttention(nn.Module):
         ring-append, attend, out-proj, LN in ONE op); the XLA fallback
         returns the pre-LN attention output.
         """
-        if not isinstance(self.attention, ScaledDotProductAttention):
+        adaptive = isinstance(self.attention, AdaptiveScaledDotProductAttention)
+        if not isinstance(self.attention, ScaledDotProductAttention) and not adaptive:
             raise NotImplementedError(
-                "stateful decode requires ScaledDotProductAttention"
+                "stateful decode requires ScaledDotProduct or Adaptive attention"
             )
         assert max_decode_len > 0, "max_decode_len must be set in decode mode"
         core = self.attention
@@ -627,6 +635,23 @@ class MultiHeadAttention(nn.Module):
             0, 2, 1, 3
         )
         q = core.project_q(queries)
+        if adaptive:
+            # per-step adaptive attention: the language column depends only
+            # on the CURRENT query and its signal, so only the standard K/V
+            # prefix needs the ring cache (reference semantics: the column
+            # joins the softmax, attentions.py:210-291)
+            s = _split_heads(core.fc_s(kwargs["language_signals"]), core.h)
+            scale = jnp.sqrt(float(core.d_k))
+            logits = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k_h, preferred_element_type=jnp.float32
+            ) / scale + bias
+            lang_logit = jnp.sum(q * s, axis=-1, keepdims=True) / scale
+            combined = jax.nn.softmax(
+                jnp.concatenate([logits, lang_logit], axis=-1), axis=-1
+            )
+            out = jnp.einsum("bhqk,bhkd->bhqd", combined[..., :-1], v_h)
+            out = out + combined[..., -1:] * s
+            return core.fc_o(_merge_heads(out)), False
         return core.attend(q, k_h, v_h, bias), False
 
     def _cross_decode_step(
@@ -643,13 +668,7 @@ class MultiHeadAttention(nn.Module):
         residual LayerNorm (ops/decode_step.fused_cross_attention_step)."""
         core = self.attention
         bs, sk = keys.shape[0], keys.shape[1]
-
-        def packed_project(kk, vv):
-            return core.fc_k(kk), core.fc_v(vv)
-
-        k, v = self.enc_kv_cache(
-            packed_project, keys, values, core.h, core.d_k, core.d_v
-        )
+        k, v = self.fill_enc_cache(keys, values)
 
         interpret = self._fused_decode_mode(core, queries, train)
         if interpret is not None:

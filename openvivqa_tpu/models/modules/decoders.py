@@ -286,6 +286,7 @@ class AdaptiveDecoder(nn.Module):
         self.language_model = build_pretrained_language_model(
             self.config.LANGUAGE_MODEL, self.vocab
         )
+        self.pos_counter = _PositionCounter()
 
     def __call__(
         self,
@@ -312,5 +313,31 @@ class AdaptiveDecoder(nn.Module):
                 enc_attention_bias=encoder_attention_bias,
                 language_signals=language_signals,
                 train=train,
+            )
+        return jax.nn.log_softmax(self.fc(out), axis=-1)
+
+    def step(
+        self,
+        token: jnp.ndarray,
+        encoder_features: jnp.ndarray,
+        encoder_attention_bias: Optional[jnp.ndarray],
+    ) -> jnp.ndarray:
+        """Single-token decode; mirrors Decoder.step.  Language signals are
+        computed from the CURRENT token only — exactly the reference's
+        stateful behaviour (decoders.py:118: the language model is called
+        on the step's answer_tokens inside forward)."""
+        t = self.pos_counter()
+
+        pad_bias = padding_bias(token, self.padding_idx)
+        _, language_signals = self.language_model(token)
+        embedded, _ = self.word_emb(token)
+        out = embedded + jnp.take(self.pos_table, t + 1, axis=0)[None, None, :]
+        for layer in self.layers:
+            out = layer(
+                queries=out, keys=encoder_features, values=encoder_features,
+                self_attention_bias=pad_bias,
+                enc_attention_bias=encoder_attention_bias,
+                language_signals=language_signals,
+                decode=True, max_decode_len=self.max_len,
             )
         return jax.nn.log_softmax(self.fc(out), axis=-1)

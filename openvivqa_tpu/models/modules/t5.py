@@ -165,11 +165,15 @@ class T5FF(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        act = (
-            (lambda y: jax.nn.gelu(y, approximate=True))
-            if self.act_fn in ("gelu_new", "gelu")
-            else jax.nn.relu
-        )
+        # HF ACT2FN: 'gelu_new' is the tanh approximation, plain 'gelu' is
+        # the exact erf form — conflating them drifts every FFN activation
+        # vs a converted checkpoint
+        if self.act_fn == "gelu_new":
+            act = lambda y: jax.nn.gelu(y, approximate=True)  # noqa: E731
+        elif self.act_fn == "gelu":
+            act = lambda y: jax.nn.gelu(y, approximate=False)  # noqa: E731
+        else:
+            act = jax.nn.relu
         if self.gated_act:
             gate = act(nn.Dense(self.d_ff, use_bias=False, name="wi_0")(x))
             linear = nn.Dense(self.d_ff, use_bias=False, name="wi_1")(x)

@@ -110,3 +110,69 @@ def test_adaptive_decoder_with_language_model():
     out = decoder.apply(variables, tokens, enc, bias)
     assert out.shape == (2, 4, len(vocab))
     np.testing.assert_allclose(np.exp(np.asarray(out)).sum(-1), 1.0, rtol=1e-3)
+
+
+def test_adaptive_decoder_step_decode():
+    """AdaptiveDecoder.step: single-token decode with the ring cache and
+    the per-step adaptive language column.  No bit-equality with __call__
+    is possible (the frozen LM sees the full sequence there but only the
+    current token here — exactly the reference's stateful behaviour,
+    decoders.py:118), so this pins that generation works at all: the
+    registered decoder used to have no step() and crashed in decode."""
+    from openvivqa_tpu.builders import META_DECODER
+
+    attn = {
+        "ARCHITECTURE": "ScaledDotProductAttention",
+        "HEAD": 2, "D_MODEL": D, "D_KEY": 8, "D_VALUE": 8, "D_FF": 32,
+        "USE_AOA": False, "DROPOUT": 0.1,
+    }
+    adaptive_attn = dict(attn, ARCHITECTURE="AdaptiveScaledDotProductAttention")
+    cfg = ConfigNode(
+        {
+            "ARCHITECTURE": "AdaptiveDecoder",
+            "D_MODEL": D,
+            "LAYERS": 1,
+            "ATTENTION": {
+                "SELF_ATTENTION": dict(attn, CAN_BE_STATEFUL=True),
+                "ENC_ATTENTION": dict(attn, CAN_BE_STATEFUL=False),
+            },
+            "ADAPTIVE_ATTENTION": {
+                "SELF_ATTENTION": dict(adaptive_attn, CAN_BE_STATEFUL=True),
+                "ENC_ATTENTION": dict(attn, CAN_BE_STATEFUL=False),
+            },
+            "TEXT_EMBEDDING": {
+                "ARCHITECTURE": "UsualEmbedding", "D_MODEL": D,
+                "D_EMBEDDING": D, "DROPOUT": 0.1, "WORD_EMBEDDING": None,
+            },
+            "LANGUAGE_MODEL": {
+                "ARCHITECTURE": "BERTModel", "D_MODEL": D,
+                "D_PRETRAINED_FEATURE": 48, "PRETRAINED_LAYERS": 1,
+                "DROPOUT": 0.1,
+            },
+        }
+    )
+    vocab = TinyVocab()
+    decoder = META_DECODER.get("AdaptiveDecoder")(config=cfg, vocab=vocab)
+    tokens = jnp.asarray([[1, 5, 6, 0], [1, 7, 2, 0]], dtype=jnp.int32)
+    enc = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 7, D)).astype(np.float32)
+    )
+    bias = jnp.zeros((2, 1, 1, 7))
+    variables = jax.jit(lambda r: decoder.init(r, tokens, enc, bias))(
+        jax.random.PRNGKey(0)
+    )
+
+    caches = {}
+    outs = []
+    for i in range(tokens.shape[1]):
+        out, mutated = decoder.apply(
+            {"params": variables["params"], **caches},
+            tokens[:, i : i + 1], enc, bias,
+            method="step", mutable=["cache"],
+        )
+        caches = {"cache": mutated["cache"]}
+        outs.append(out)
+    stacked = np.asarray(jnp.concatenate(outs, axis=1))
+    assert stacked.shape == (2, 4, len(vocab))
+    assert np.isfinite(stacked).all()
+    np.testing.assert_allclose(np.exp(stacked).sum(-1), 1.0, rtol=1e-3)

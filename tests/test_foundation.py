@@ -201,6 +201,37 @@ def test_loader_sharding_uneven_tail_pads_to_equal_counts():
     assert covered == set(full_batches)  # wrap duplicates, never drops
 
 
+def test_loader_slow_consumer_still_terminates():
+    """A consumer slower than the producer leaves the prefetch queue full
+    when the producer finishes — the end-of-epoch sentinel must be a
+    blocking put, not a drop (a dropped sentinel strands the consumer in
+    queue.get() forever; this hung every epoch-long task loop)."""
+    import threading
+    import time
+
+    from openvivqa_tpu.data.loader import DataLoader
+
+    class Ds:
+        def __len__(self):
+            return 16
+
+        def __getitem__(self, i):
+            return Instance(id=i, value=np.asarray([i], np.float32))
+
+    seen = []
+
+    def consume():
+        for batch in DataLoader(Ds(), batch_size=4, num_workers=1, prefetch=1):
+            time.sleep(0.05)  # slower than production
+            seen.append(int(np.asarray(batch["id"])[0]))
+
+    worker = threading.Thread(target=consume, daemon=True)
+    worker.start()
+    worker.join(timeout=60)
+    assert not worker.is_alive(), "loader never delivered the end sentinel"
+    assert len(seen) == 4
+
+
 def test_loader_abandoned_iterator_reaps_producer():
     """Breaking out of an epoch early must not leak the prefetch producer
     thread blocked in queue.put."""
