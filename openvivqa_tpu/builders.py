@@ -80,8 +80,14 @@ def build_vision_embedding(config):
 
 
 def build_word_embedding(config):
-    cls = META_WORD_EMBEDDING.get(config.WORD_EMBEDDING)
-    return cls(config.get("WORD_EMBEDDING_CACHE"))
+    """One embedding or, reference-style, a LIST of names whose vectors the
+    vocab concatenates (builders/word_embedding_builder.py iterates lists;
+    Vocab.load_word_embeddings handles both)."""
+    names = config.WORD_EMBEDDING
+    cache = config.get("WORD_EMBEDDING_CACHE")
+    if isinstance(names, (list, tuple)):
+        return [META_WORD_EMBEDDING.get(n)(cache) for n in names]
+    return META_WORD_EMBEDDING.get(names)(cache)
 
 
 def build_pretrained_language_model(config, vocab=None):

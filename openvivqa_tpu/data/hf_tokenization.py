@@ -45,25 +45,28 @@ class HostTokenizer:
                 "local path with tokenizer files or remove the key — "
                 "falling back silently would change the model."
             ) from exc
+        if self.tokenizer.pad_token_id is None:
+            # pad-less tokenizers (GPT-2 family): the standard workaround —
+            # padding='longest' below would otherwise raise deep inside
+            # transformers.  Validity masks come from the tokenizer's own
+            # attention_mask, so pad==eos stays unambiguous.
+            self.tokenizer.pad_token = self.tokenizer.eos_token
         self.pad_id = int(self.tokenizer.pad_token_id or 0)
 
-    def encode_all(self, texts: Sequence[str]) -> np.ndarray:
+    def encode_all(self, texts: Sequence[str]):
         """Tokenise every string in one call, padded to the longest
-        (= dataset-level static length when called with the full split)."""
+        (= dataset-level static length when called with the full split) and
+        truncated at the tokenizer's own model max (a >model-max question
+        would silently index past the backbone's position table).  Returns
+        (ids (n, L) int32, validity (n, L) float32)."""
         encoded = self.tokenizer(
-            list(texts), padding="longest", return_tensors="np"
-        )
-        return encoded["input_ids"].astype(np.int32)
-
-    def encode_batch(self, texts: Sequence[str], length: int) -> np.ndarray:
-        encoded = self.tokenizer(
-            list(texts),
-            padding="max_length",
-            truncation=True,
-            max_length=length,
+            list(texts), padding="longest", truncation=True,
             return_tensors="np",
         )
-        return encoded["input_ids"].astype(np.int32)
+        return (
+            encoded["input_ids"].astype(np.int32),
+            encoded["attention_mask"].astype(np.float32),
+        )
 
 
 def backbone_token_table(config, annotations) -> dict:
@@ -81,8 +84,10 @@ def backbone_token_table(config, annotations) -> dict:
     )
     if not uniques:
         return {}
-    ids = tokenizer.encode_all(uniques)
-    masks = (ids != tokenizer.pad_id).astype(np.float32)
+    # validity comes from the tokenizer's attention_mask, NOT an
+    # ids != pad_id compare — with the pad==eos workaround that compare
+    # would zero every genuine trailing EOS
+    ids, masks = tokenizer.encode_all(uniques)
     logger.info(
         "HF-tokenised %d unique questions with %s (max len %d, pad id %d)",
         len(uniques), name, ids.shape[1], tokenizer.pad_id,

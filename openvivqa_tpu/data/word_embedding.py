@@ -62,7 +62,12 @@ class WordEmbedding:
             )
 
     def _load_cache(self, cache: str, max_vectors: Optional[int]) -> None:
-        npz_path = os.path.join(cache, f"{self.name}.npz")
+        # key the parsed cache by max_vectors (reference parity:
+        # word_embedding.py cache() suffixes _{max_vectors}) — otherwise a
+        # truncated run poisons the cache for later full-table runs and
+        # vice versa
+        suffix = f".top{max_vectors}" if max_vectors else ""
+        npz_path = os.path.join(cache, f"{self.name}{suffix}.npz")
         txt_path = os.path.join(cache, self.name)
         if os.path.isfile(npz_path):
             blob = np.load(npz_path, allow_pickle=True)
@@ -83,14 +88,23 @@ class WordEmbedding:
                     rows.append(np.asarray(entries[1:], dtype=np.float32))
                     if max_vectors and len(itos) >= max_vectors:
                         break
-            if rows:
-                self.vectors = np.stack(rows)
-                self.dim = self.vectors.shape[1]
-                self.stoi = {tok: i for i, tok in enumerate(itos)}
-                self._pseudo = False
-                np.savez_compressed(
-                    npz_path, itos=np.asarray(itos, dtype=object), vectors=self.vectors
+            if not rows:
+                # the file EXISTS but yielded nothing (truncated download,
+                # header-only, wrong format): falling through to
+                # pseudo-random vectors here would silently bypass the
+                # hard-fail policy below
+                raise ValueError(
+                    f"word embedding file {txt_path!r} exists but contains "
+                    "no parseable vectors — re-download it (format: "
+                    "'<token> <v1> ... <vd>' per line)"
                 )
+            self.vectors = np.stack(rows)
+            self.dim = self.vectors.shape[1]
+            self.stoi = {tok: i for i, tok in enumerate(itos)}
+            self._pseudo = False
+            np.savez_compressed(
+                npz_path, itos=np.asarray(itos, dtype=object), vectors=self.vectors
+            )
             return
         # A missing cache silently training on pseudo-random vectors is a
         # semantically different model (VERDICT r1): hard-fail unless the

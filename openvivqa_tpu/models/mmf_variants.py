@@ -36,7 +36,12 @@ from .m4c_common import (
 from .m4c_common import PrevPredEmbeddings
 from .mmf_m4c import MMF_M4C
 from .modules.bert import LN_EPS, BertEncoderStack, BertLayer
-from .modules.masks import MASK_VALUE, causal_bias, padding_bias
+from .modules.masks import (
+    MASK_VALUE,
+    causal_bias,
+    padding_bias,
+    validity_to_bias,
+)
 
 _normal = nn.initializers.normal(stddev=0.02)
 
@@ -276,15 +281,9 @@ class MMF_LanguageAdaptiveM4C(MMF_M4C):
         c = self.config.TEXT_BERT
         self.d_language = int(c.get("D_LANGUAGE") or 768)
         backbone_layers = int(c.get("PRETRAINED_LAYERS") or 12)
-        from .modules.pretrained_embeddings import _BERT_FAMILY_VOCABS
+        from .modules.pretrained_embeddings import backbone_table_rows
 
-        table_rows = max(
-            len(self.vocab),
-            int(
-                c.get("PRETRAINED_VOCAB_SIZE")
-                or _BERT_FAMILY_VOCABS.get(c.get("PRETRAINED_NAME"), 30522)
-            ),
-        )
+        table_rows = backbone_table_rows(c, len(self.vocab))
         from .modules.bert import BertEmbeddings
 
         self.language_embeddings = BertEmbeddings(
@@ -315,7 +314,7 @@ class MMF_LanguageAdaptiveM4C(MMF_M4C):
             if "question_backbone_mask" in batch:
                 # tokenizer-derived validity mask (real pad id may be 1)
                 mask = batch["question_backbone_mask"]
-                txt_bias = ((1.0 - mask) * MASK_VALUE)[:, None, None, :]
+                txt_bias = validity_to_bias(mask)
             else:
                 pad_idx = int(
                     self.config.TEXT_BERT.get("PRETRAINED_PAD_ID") or 0

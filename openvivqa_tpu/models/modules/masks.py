@@ -37,6 +37,13 @@ def padding_bias(sequences: jnp.ndarray, padding_idx: int) -> jnp.ndarray:
     return bias[:, None, None, :]
 
 
+def validity_to_bias(validity_mask: jnp.ndarray) -> jnp.ndarray:
+    """(bs, L) 1-valid/0-pad mask (e.g. an HF tokenizer attention_mask) ->
+    additive (bs, 1, 1, L) bias.  The canonical conversion — callers must
+    not re-derive it with a hardcoded mask constant."""
+    return ((1.0 - validity_mask) * MASK_VALUE)[:, None, None, :]
+
+
 def causal_bias(seq_len: int) -> jnp.ndarray:
     """Additive causal bias (1, 1, L, L): future positions get MASK_VALUE."""
     upper = jnp.triu(jnp.ones((seq_len, seq_len), dtype=jnp.float32), k=1)

@@ -36,7 +36,13 @@ from ...builders import (
 )
 from ...logging_utils import setup_logger
 from .bert import BertEmbeddings, BertEncoderStack
-from .masks import causal_bias, combine_biases, padding_bias, sinusoid_encoding_table
+from .masks import (
+    causal_bias,
+    combine_biases,
+    padding_bias,
+    sinusoid_encoding_table,
+    validity_to_bias,
+)
 
 logger = setup_logger()
 
@@ -56,6 +62,29 @@ _BERT_FAMILY_VOCABS = {
     "vinai/phobert-base": 64001,
     "vinai/phobert-large": 64001,
 }
+
+
+def backbone_table_rows(config, vocab_len: int = 0) -> int:
+    """Embedding-table rows for a BERT-layout backbone: the explicit
+    PRETRAINED_VOCAB_SIZE, else the known checkpoint size.  An UNKNOWN
+    checkpoint name without an explicit size is an error — nn.Embed's
+    jnp.take clamps out-of-range ids under jit, so a too-small default
+    table would silently map every high tokenizer id to the last row."""
+    name = config.get("PRETRAINED_NAME")
+    configured = config.get("PRETRAINED_VOCAB_SIZE")
+    if configured:
+        rows = int(configured)
+    elif not name:
+        rows = 30522  # BERT-base layout default (no checkpoint named)
+    elif name in _BERT_FAMILY_VOCABS:
+        rows = _BERT_FAMILY_VOCABS[name]
+    else:
+        raise ValueError(
+            f"PRETRAINED_NAME {name!r} has no known vocab size; set "
+            "PRETRAINED_VOCAB_SIZE to the checkpoint's real vocab rows "
+            "(ids past the table would be silently clamped)"
+        )
+    return max(vocab_len, rows)
 
 
 class _FrozenTextBackboneEmbedding(nn.Module):
@@ -90,15 +119,12 @@ class _FrozenTextBackboneEmbedding(nn.Module):
             # explicit validity mask from the HF tokenizer (its pad id may
             # collide with real token ids: RoBERTa-family tokenizers pad
             # with 1, which is a live id in other spaces)
-            bias = ((1.0 - padding_mask) * -10e4)[:, None, None, :]
+            bias = validity_to_bias(padding_mask)
         else:
             if padding_idx is None:
                 padding_idx = self.vocab.padding_idx
             bias = padding_bias(tokens, padding_idx)
-        default_rows = _BERT_FAMILY_VOCABS.get(c.get("PRETRAINED_NAME"), 30522)
-        table_rows = max(
-            len(self.vocab), int(c.get("PRETRAINED_VOCAB_SIZE") or default_rows)
-        )
+        table_rows = backbone_table_rows(c, len(self.vocab))
         embedded = BertEmbeddings(
             vocab_size=table_rows, hidden_size=hidden
         )(tokens, train=False)
@@ -239,7 +265,7 @@ class _ProjectedBackboneEmbedding(nn.Module):
         c = self.config
         spec = resolve_backbone_spec(c, self.family, self.vocab)
         if padding_mask is not None:
-            bias = ((1.0 - padding_mask) * -10e4)[:, None, None, :]
+            bias = validity_to_bias(padding_mask)
         else:
             if padding_idx is None:
                 padding_idx = self.vocab.padding_idx
@@ -390,7 +416,15 @@ class ViTEmbedding(nn.Module):
 class _FrozenCausalLM(nn.Module):
     """Frozen LM + projection + one encoder layer + vocab head, returning
     (log-probs, language_signals) for the AdaptiveDecoder
-    (language_models.py:73-175 parity)."""
+    (language_models.py:73-175 parity).
+
+    Intentional divergence: the reference runs its frozen BERT with an
+    ALL-ONES attention mask when none is given (language_models.py — the
+    frozen LM attends padding, so non-pad features absorb pad-key
+    contributions); here padding is properly masked (pad_bias below).
+    Language signals at non-pad positions therefore differ slightly from
+    the reference's — deliberately, since attending padding is a bug, and
+    no pretrained checkpoint depends on it (the LM is frozen)."""
 
     config: Any
     vocab: Any
@@ -452,12 +486,3 @@ class GPT2Model(_FrozenCausalLM):
     BARTPhoModel."""
 
 
-def try_load_hf_weights(name: str):
-    """Best-effort local HF weight loading (no network egress here)."""
-    try:
-        from transformers import AutoModel
-
-        return AutoModel.from_pretrained(name, local_files_only=True)
-    except Exception as exc:  # noqa: BLE001
-        logger.warning("no local HF weights for %s (%s); using random init", name, exc)
-        return None

@@ -405,14 +405,9 @@ def convert_mmf_language_adaptive(state_dict: Mapping[str, Any], config) -> Dict
     # max(len(vocab), PRETRAINED_VOCAB_SIZE or family default).  The
     # converter cannot see len(vocab); framework vocabs are far smaller
     # than any pretrained table, and a mismatch fails loudly at restore.
-    from .pretrained_embeddings import _BERT_FAMILY_VOCABS
+    from .pretrained_embeddings import backbone_table_rows
 
-    default_rows = _BERT_FAMILY_VOCABS.get(
-        config.TEXT_BERT.get("PRETRAINED_NAME"), 30522
-    )
-    configured = int(
-        config.TEXT_BERT.get("PRETRAINED_VOCAB_SIZE") or default_rows
-    )
+    configured = backbone_table_rows(config.TEXT_BERT)
     pad_rows(embeddings, "Embed_0", max(configured, vocab_rows))
     pad_rows(embeddings, "Embed_1", 512)
     pad_rows(embeddings, "Embed_2", 2)

@@ -254,3 +254,50 @@ def test_loader_abandoned_iterator_reaps_producer():
     # generous slack for unrelated daemon threads, but 5 leaked producers
     # (+ their 2-worker pools) would exceed it
     assert threading.active_count() <= before + 3
+
+
+def test_build_word_embedding_list_concatenates():
+    """Reference-style WORD_EMBEDDING lists (word_embedding_builder.py
+    iterates them) build a list of embeddings whose dims the vocab
+    concatenates."""
+    import os
+
+    from openvivqa_tpu.builders import build_word_embedding, populate
+    from openvivqa_tpu.config import ConfigNode
+
+    populate()
+    os.environ["OPENVIVQA_ALLOW_RANDOM_EMBEDDINGS"] = "1"
+    try:
+        cfg = ConfigNode(
+            {
+                "WORD_EMBEDDING": ["ViFastText", "PhoW2VWord300"],
+                "WORD_EMBEDDING_CACHE": None,
+            }
+        )
+        embs = build_word_embedding(cfg)
+        assert isinstance(embs, list) and len(embs) == 2
+        assert all(e.dim == 300 for e in embs)
+    finally:
+        del os.environ["OPENVIVQA_ALLOW_RANDOM_EMBEDDINGS"]
+
+
+def test_backbone_table_rows_rejects_unknown_checkpoint():
+    """An unknown PRETRAINED_NAME without PRETRAINED_VOCAB_SIZE must raise:
+    nn.Embed clamps out-of-range ids under jit, so a guessed default table
+    silently corrupts every high tokenizer id."""
+    import pytest
+
+    from openvivqa_tpu.config import ConfigNode
+    from openvivqa_tpu.models.modules.pretrained_embeddings import (
+        backbone_table_rows,
+    )
+
+    assert backbone_table_rows(
+        ConfigNode({"PRETRAINED_NAME": "bert-base-uncased"}), 100
+    ) == 30522
+    assert backbone_table_rows(
+        ConfigNode({"PRETRAINED_NAME": "x/unknown",
+                    "PRETRAINED_VOCAB_SIZE": 12345}), 100
+    ) == 12345
+    with pytest.raises(ValueError, match="PRETRAINED_VOCAB_SIZE"):
+        backbone_table_rows(ConfigNode({"PRETRAINED_NAME": "x/unknown"}), 100)
