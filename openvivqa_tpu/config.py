@@ -60,6 +60,12 @@ class ConfigNode(Mapping):
     def __setattr__(self, key: str, value: Any) -> None:
         raise TypeError("ConfigNode is immutable")
 
+    def __reduce__(self):
+        # the raising __setattr__ + __slots__ otherwise break pickle and
+        # copy.deepcopy (slot-state restoration writes attributes); rebuild
+        # from the plain dict instead
+        return (ConfigNode, (self.to_dict(),))
+
     def get(self, key: str, default: Any = None) -> Any:
         return self._data.get(key, default)
 

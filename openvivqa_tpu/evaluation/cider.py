@@ -52,7 +52,10 @@ class Cider:
         norm = [0.0] * self.n
         length = 0
         for ngram, term_freq in counts.items():
-            df = np.log(max(1.0, doc_frequency[ngram]))
+            # .get, not [] — indexing a shared defaultdict (the precomputed
+            # SCST-reward DF) would permanently insert a key per novel
+            # hypothesis n-gram, leaking host memory across training steps
+            df = np.log(max(1.0, doc_frequency.get(ngram, 0.0)))
             order = len(ngram) - 1
             weight = float(term_freq) * (ref_len - df)
             vec[order][ngram] = weight
@@ -70,7 +73,8 @@ class Cider:
         for order in range(self.n):
             acc = 0.0
             for ngram, weight in vec_h[order].items():
-                acc += min(weight, vec_r[order][ngram]) * vec_r[order][ngram]
+                ref_weight = vec_r[order].get(ngram, 0.0)
+                acc += min(weight, ref_weight) * ref_weight
             if norm_h[order] != 0 and norm_r[order] != 0:
                 acc /= norm_h[order] * norm_r[order]
             val[order] = acc * penalty

@@ -28,7 +28,6 @@ class IterativeMCAN(GenerativeModel):
     vocab: Any
 
     def setup(self):
-        self.d_model = self.config.D_MODEL
         self.text_embedding = build_text_embedding(
             self.config.TEXT_EMBEDDING, self.vocab
         )

@@ -99,7 +99,6 @@ class JointTransformer(GenerativeModel):
     vocab: Any
 
     def setup(self):
-        self.d_model = self.config.D_MODEL
         self.streams = ModalityStreams(self.config, self.vocab)
         self.encoder = build_encoder(self.config.ENCODER)
         self.decoder = build_decoder(self.config.DECODER, vocab=self.vocab)

@@ -20,22 +20,10 @@ from ..builders import (
     build_text_embedding,
     build_vision_embedding,
 )
-from .common import total_answers_of
+from .common import AttentionReduceMLP, attention_pool, total_answers_of
 from .base import BatchArrays, ClassificationModel
 
 _xavier = nn.initializers.xavier_uniform()
-
-
-class AttentionReduceMLP(nn.Module):
-    """Dense -> ReLU -> dropout -> Dense(1) (mcan.py:12-25)."""
-
-    config: Any
-
-    @nn.compact
-    def __call__(self, features: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        hidden = nn.relu(nn.Dense(self.config.D_MODEL, kernel_init=_xavier)(features))
-        hidden = nn.Dropout(rate=self.config.DROPOUT)(hidden, deterministic=not train)
-        return nn.Dense(1, kernel_init=_xavier)(hidden)
 
 
 @META_ARCHITECTURE.register()
@@ -77,14 +65,12 @@ class MCAN(ClassificationModel):
             train=train,
         )
 
-        vision_weights = jax.nn.softmax(
-            self.vision_attr_reduce(vision_features, train=train), axis=1
+        pooled_vision = attention_pool(
+            vision_features, self.vision_attr_reduce(vision_features, train=train)
         )
-        text_weights = jax.nn.softmax(
-            self.text_attr_reduce(text_features, train=train), axis=1
+        pooled_text = attention_pool(
+            text_features, self.text_attr_reduce(text_features, train=train)
         )
-        pooled_vision = jnp.sum(vision_features * vision_weights, axis=1)
-        pooled_text = jnp.sum(text_features * text_weights, axis=1)
 
         fused = self.layer_norm(
             self.vision_proj(pooled_vision) + self.text_proj(pooled_text)

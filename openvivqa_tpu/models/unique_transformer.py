@@ -61,7 +61,6 @@ class UniqueTransformer(GenerativeModel):
     vocab: Any
 
     def setup(self):
-        self.d_model = self.config.D_MODEL
         self.text_embedding = build_text_embedding(
             self.config.TEXT_EMBEDDING, self.vocab
         )
@@ -93,6 +92,27 @@ class UniqueTransformer(GenerativeModel):
         out = self.encoder(features, bias, train=train)
         out = self.fc(out[:, joint_len:])
         return jax.nn.log_softmax(out, axis=-1)
+
+    def decode_teacher_forced(
+        self,
+        tokens: jnp.ndarray,
+        encoder_features: jnp.ndarray,
+        encoder_attention_bias,
+        train: bool = False,
+    ) -> jnp.ndarray:
+        """SCST re-scoring: the single-stream prefix-LM has no `decoder`
+        submodule (the GenerativeModel default would dereference one) —
+        re-run the joint encoder with the sampled answers appended, the
+        __call__ layout with answer_tokens := tokens."""
+        joint_len = encoder_features.shape[1]
+        answer_features, (answer_pad, _) = self.text_embedding(
+            tokens, train=train
+        )
+        answer_block = combine_biases(answer_pad, causal_bias(tokens.shape[1]))
+        features = jnp.concatenate([encoder_features, answer_features], axis=1)
+        bias = prefix_lm_bias(encoder_attention_bias, answer_pad, answer_block)
+        out = self.encoder(features, bias, train=train)
+        return jax.nn.log_softmax(self.fc(out[:, joint_len:]), axis=-1)
 
     def decode_step(self, token, encoder_features, encoder_attention_bias):
         joint_len = encoder_features.shape[1]

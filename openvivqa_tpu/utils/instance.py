@@ -57,6 +57,13 @@ class Batch(dict):
 
     @property
     def batch_size(self) -> int:
+        """Padded batch size (the arrays' leading dim).  Defined from
+        sample_valid when present — host list fields keep the REAL sample
+        count, so a field-order scan would be inconsistent after batch-dim
+        padding.  Count real rows via sample_valid.sum()."""
+        valid = self.get("sample_valid")
+        if valid is not None:
+            return int(valid.shape[0])
         for value in self.values():
             if hasattr(value, "shape") and getattr(value, "ndim", 0) >= 1:
                 return int(value.shape[0])
@@ -76,7 +83,13 @@ def _pad_first_dim(array: np.ndarray, target: int, fill: float) -> np.ndarray:
     if array.shape[0] == target:
         return array
     if array.shape[0] > target:
-        return array[:target]
+        # a declared static length smaller than a real sample is a
+        # misconfiguration (e.g. one split's maxima applied to another);
+        # silently dropping tokens would degrade eval undetectably
+        raise ValueError(
+            f"sample first dim {array.shape[0]} exceeds the declared static "
+            f"pad length {target}; fix the pad_to entry"
+        )
     pad_widths = [(0, target - array.shape[0])] + [(0, 0)] * (array.ndim - 1)
     return np.pad(array, pad_widths, mode="constant", constant_values=fill)
 

@@ -301,3 +301,17 @@ def test_backbone_table_rows_rejects_unknown_checkpoint():
     ) == 12345
     with pytest.raises(ValueError, match="PRETRAINED_VOCAB_SIZE"):
         backbone_table_rows(ConfigNode({"PRETRAINED_NAME": "x/unknown"}), 100)
+
+
+def test_config_node_pickle_and_deepcopy():
+    """ConfigNode must survive pickle and deepcopy (its raising __setattr__
+    plus __slots__ used to break slot-state restoration) — vocab caches and
+    checkpoint metadata may embed configs."""
+    import copy
+    import pickle
+
+    cfg = ConfigNode({"A": 1, "B": {"C": [1, 2]}})
+    back = pickle.loads(pickle.dumps(cfg))
+    assert back == cfg and back.B.C == (1, 2)
+    dup = copy.deepcopy(cfg)
+    assert dup == cfg

@@ -271,3 +271,30 @@ def test_model_beam_decode(name):
     assert outs.shape == (2, vocab.max_answer_length)
     assert np.isfinite(np.asarray(log_probs)).all()
     assert (np.asarray(outs) >= 0).all() and (np.asarray(outs) < len(vocab)).all()
+
+
+@pytest.mark.parametrize("name", sorted(GENERATIVE))
+def test_decode_teacher_forced_matches_forward(name):
+    """The SCST re-scoring path (model.decode_teacher_forced over encode()
+    outputs) must produce the same log-probs as the training forward on the
+    same answers — UniqueTransformer used to crash here (no `decoder`
+    submodule for the GenerativeModel default to delegate to)."""
+    vocab = ZooVocab()
+    model = META_ARCHITECTURE.get(name)(
+        config=ConfigNode(dict(MODEL_CONFIGS[name], ARCHITECTURE=name)),
+        vocab=vocab,
+    )
+    batch = _batch(vocab)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch
+    )
+    want = model.apply(variables, batch, train=False)
+
+    def rescore(mdl, b):
+        feats, bias = mdl.encode(b, train=False)
+        return mdl.decode_teacher_forced(b["answer_tokens"], feats, bias)
+
+    got = model.apply(variables, batch, method=rescore)
+    np.testing.assert_allclose(
+        np.asarray(want), np.asarray(got), atol=1e-5
+    )
