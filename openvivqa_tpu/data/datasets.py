@@ -24,6 +24,15 @@ from .text_utils import preprocess_sentence
 DEFAULT_MAX_REGIONS = 100
 
 
+def teacher_forcing_pair(answer: np.ndarray, padding_idx: int, eos_idx: int):
+    """(decoder input, shifted target): the target is the answer shifted
+    left and the decoder input drops <eos> (feature_dataset.py:48-50
+    parity).  The ONE copy — four datasets used to hand-roll it."""
+    shifted = np.full_like(answer, padding_idx)
+    shifted[:-1] = answer[1:]
+    return np.where(answer == eos_idx, padding_idx, answer), shifted
+
+
 class BaseDataset:
     """Annotation JSON + per-image `.npy` feature store (base_dataset.py:9-40)."""
 
@@ -160,11 +169,9 @@ class FeatureDataset(BaseDataset):
         question = self.vocab.encode_question(item["question"])
         answer = self.vocab.encode_answer(item["answer"])
 
-        # teacher forcing: target is the answer shifted left; the decoder
-        # input drops <eos> (feature_dataset.py:48-50 parity)
-        shifted_right_answer = np.full_like(answer, self.vocab.padding_idx)
-        shifted_right_answer[:-1] = answer[1:]
-        answer = np.where(answer == self.vocab.eos_idx, self.vocab.padding_idx, answer)
+        answer, shifted_right_answer = teacher_forcing_pair(
+            answer, self.vocab.padding_idx, self.vocab.eos_idx
+        )
 
         features = self.load_features(item["image_id"])
         return Instance(

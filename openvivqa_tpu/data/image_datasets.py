@@ -18,7 +18,11 @@ import numpy as np
 
 from ..builders import META_DATASET
 from ..utils.instance import Instance
-from .datasets import FeatureClassificationDataset, FeatureDataset
+from .datasets import (
+    FeatureClassificationDataset,
+    FeatureDataset,
+    teacher_forcing_pair,
+)
 from .multilingual import (
     MultilingualDictionaryDataset,
     MultilingualFeatureDataset,
@@ -60,9 +64,9 @@ class ImageDataset(_ImageLoaderMixin, FeatureDataset):
     def __getitem__(self, idx: int) -> Instance:
         item = self.annotations[idx]
         answer = self.vocab.encode_answer(item["answer"])
-        shifted_right = np.full_like(answer, self.vocab.padding_idx)
-        shifted_right[:-1] = answer[1:]
-        answer = np.where(answer == self.vocab.eos_idx, self.vocab.padding_idx, answer)
+        answer, shifted_right = teacher_forcing_pair(
+            answer, self.vocab.padding_idx, self.vocab.eos_idx
+        )
         return Instance(
             image_id=item["image_id"],
             filename=item["filename"],
@@ -84,9 +88,9 @@ class ImageQuestionDataset(_ImageLoaderMixin, RawQuestionFeatureDataset):
     def __getitem__(self, idx: int) -> Instance:
         item = self.annotations[idx]
         answer = self.vocab.encode_answer(item["answer"])
-        shifted_right = np.full_like(answer, self.vocab.padding_idx)
-        shifted_right[:-1] = answer[1:]
-        answer = np.where(answer == self.vocab.eos_idx, self.vocab.padding_idx, answer)
+        answer, shifted_right = teacher_forcing_pair(
+            answer, self.vocab.padding_idx, self.vocab.eos_idx
+        )
         return Instance(
             image_id=item["image_id"],
             filename=item["filename"],
@@ -151,15 +155,17 @@ class MultilingualImageQuestionDictionaryDataset(ImageQuestionDictionaryDataset)
 
     def __getitem__(self, idx: int) -> Instance:
         item = self.annotations[idx]
+        # _question_payload, not hand-rolled fields: with HF_TOKENIZER set
+        # the train split emits question_backbone_tokens/mask — dropping
+        # them here fed the converted backbone framework-vocab ids at eval
         return Instance(
             question_id=item["question_id"],
             type=item["type"],
             image_id=item["image_id"],
             filename=item["filename"],
             pixel_values=self.load_pixel_values(item["filename"]),
-            question=item["raw_question"],
-            question_tokens=self.vocab.encode_question(item["question"]),
             answers=item["answers"],
+            **self._question_payload(item),
         )
 
 

@@ -26,7 +26,12 @@ import numpy as np
 
 from ..builders import META_DATASET, META_VOCAB
 from ..utils.instance import Instance
-from .datasets import DictionaryDataset, FeatureClassificationDataset, FeatureDataset
+from .datasets import (
+    DictionaryDataset,
+    FeatureClassificationDataset,
+    FeatureDataset,
+    teacher_forcing_pair,
+)
 from .multimodal_vocab import MultiModalVocab
 from .text_utils import is_japanese_sentence, preprocess_sentence
 from .vocab import ClassificationVocab, Vocab
@@ -88,7 +93,12 @@ class MultilingualClassificationVocab(ClassificationVocab):
                 for answer in ann["answers"]:
                     self.freqs.update(question)
                     if is_japanese_sentence(ann["question"]):
-                        answers.add(answer)
+                        # store the SAME space-joined char form the dataset
+                        # path produces (_MultilingualAnnotationsMixin
+                        # char-tokenizes ja answers; encode_answer joins
+                        # with spaces — a raw 'ネコ' key would never match
+                        # the looked-up 'ネ コ')
+                        answers.add(" ".join(list(answer)))
                     else:
                         answers.add(
                             " ".join(preprocess_sentence(answer, self.tokenizer))
@@ -240,9 +250,9 @@ class RawQuestionFeatureDataset(_RawQuestionItemMixin, FeatureDataset):
     def __getitem__(self, idx: int) -> Instance:
         item = self.annotations[idx]
         answer = self.vocab.encode_answer(item["answer"])
-        shifted_right = np.full_like(answer, self.vocab.padding_idx)
-        shifted_right[:-1] = answer[1:]
-        answer = np.where(answer == self.vocab.eos_idx, self.vocab.padding_idx, answer)
+        answer, shifted_right = teacher_forcing_pair(
+            answer, self.vocab.padding_idx, self.vocab.eos_idx
+        )
         features = self.load_features(item["image_id"])
         return Instance(
             image_id=item["image_id"],

@@ -38,10 +38,13 @@ class IterativeMCAN(GenerativeModel):
         self.norm = nn.LayerNorm()
         self.decoder = build_decoder(self.config.DECODER, vocab=self.vocab)
 
+    def _vision(self, batch: BatchArrays, train: bool):
+        """Vision stream hook — ReadableIterativeMCAN overrides this with
+        the VisionOcrEmbedding fusion; everything after it is shared."""
+        return self.vision_embedding(batch["region_features"], train=train)
+
     def encode(self, batch: BatchArrays, train: bool = False):
-        vision_features, vision_bias = self.vision_embedding(
-            batch["region_features"], train=train
-        )
+        vision_features, vision_bias = self._vision(batch, train)
         text_features, (text_bias, _) = self.text_embedding(
             batch["question_tokens"], train=train
         )

@@ -156,7 +156,21 @@ class MMF_M4C(nn.Module):
     def compute_scores(
         self, batch: BatchArrays, prev_inds: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
-        streams = self._mmt_streams(batch, train)
+        return self._scores_from_streams(
+            self._mmt_streams(batch, train), prev_inds, train
+        )
+
+    def _greedy_invariants(self, batch: BatchArrays):
+        """Everything prev_inds-invariant, computed ONCE outside the greedy
+        scan (XLA does not lift invariants out of scan bodies).  Variants
+        overriding compute_scores must override this + _scores_from_streams
+        as a pair."""
+        return self._mmt_streams(batch, False)
+
+    def _scores_from_streams(
+        self, streams, prev_inds: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        """Scores from precomputed _greedy_invariants."""
         ocr_bias = streams["ocr"][1]
 
         results = self.mmt(
@@ -193,9 +207,12 @@ class MMF_M4C(nn.Module):
         bs = batch["question_tokens"].shape[0]
         prev_inds = jnp.zeros((bs, self.max_iter), jnp.int32)
         prev_inds = prev_inds.at[:, 0].set(self.vocab.bos_idx)
+        invariants = self._greedy_invariants(batch)
 
         def body(mdl, prev_inds, step):
-            scores = mdl.compute_scores(batch, prev_inds, train=False)
+            # invariants are scan constants — only prev_inds-dependent
+            # compute re-runs per step
+            scores = mdl._scores_from_streams(invariants, prev_inds, train=False)
             return mdl._update_prev_inds(prev_inds, scores, step), scores
 
         scan = nn.scan(

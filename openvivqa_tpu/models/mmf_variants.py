@@ -143,8 +143,17 @@ class _IterativeM4CBase(MMF_M4C):
         }
 
     def compute_scores(self, batch, prev_inds, train: bool = False):
-        enc = self._encode_joint(batch, train)
+        return self._scores_from_streams(
+            self._encode_joint(batch, train), prev_inds, train
+        )
 
+    def _greedy_invariants(self, batch):
+        # the WHOLE joint encode is prev_inds-invariant here — hoisting it
+        # out of the quadratic greedy scan leaves only the decoder layers
+        # re-running per step (exact: identical inputs every step)
+        return self._encode_joint(batch, False)
+
+    def _scores_from_streams(self, enc, prev_inds, train: bool = False):
         dec = self.dec_embeddings(
             self._fixed_ans_emb(), enc["ocr_emb"], prev_inds, train=train
         )

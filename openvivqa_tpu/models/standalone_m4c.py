@@ -183,12 +183,28 @@ class M4C(nn.Module):
         return self.vocab_proj_kernel.T
 
     # -- joint encode + output (m4c.py:148-203) --------------------------
+    def _streams(self, batch: BatchArrays, train: bool):
+        """The prev_inds-invariant input streams (hoisted out of the greedy
+        scan: XLA does not lift invariants out of scan bodies, and the
+        question BERT + obj/ocr embeddings do not depend on the decoded
+        prefix)."""
+        return (
+            self._obj(batch, train),
+            self._ocr(batch, train),
+            self._question(batch, train),
+        )
+
     def compute_scores(
         self, batch: BatchArrays, prev_inds: jnp.ndarray, train: bool = False
     ) -> jnp.ndarray:
-        obj_emb, obj_bias = self._obj(batch, train)
-        ocr_emb, ocr_bias = self._ocr(batch, train)
-        q_emb, q_bias = self._question(batch, train)
+        return self._scores_from_streams(
+            self._streams(batch, train), prev_inds, train
+        )
+
+    def _scores_from_streams(
+        self, streams, prev_inds: jnp.ndarray, train: bool = False
+    ) -> jnp.ndarray:
+        (obj_emb, obj_bias), (ocr_emb, ocr_bias), (q_emb, q_bias) = streams
         ans_emb, (ans_bias, _) = self.dynamic_embedding(
             prev_inds, ocr_emb, self._fixed_rows()
         )
@@ -238,8 +254,11 @@ class M4C(nn.Module):
         )
         prev_inds = prev_inds.at[:, 0].set(self.vocab.bos_idx)
 
+        streams = self._streams(batch, False)
+
         def body(mdl, prev_inds, _):
-            scores = mdl.compute_scores(batch, prev_inds, train=False)
+            # streams are scan constants — only the joint encoder re-runs
+            scores = mdl._scores_from_streams(streams, prev_inds, train=False)
             argmax_inds = jnp.argmax(scores, axis=-1)
             return prev_inds.at[:, 1:].set(argmax_inds[:, :-1]), scores
 

@@ -209,48 +209,16 @@ class ReadableIterativeMCAN(IterativeMCAN):
     object + OCR (det/rec/fasttext/box) features
     (readable_iterative_mcan.py:43-54)."""
 
-    def setup(self):
-        c = self.config
-        self.d_model = c.D_MODEL
-        self.text_embedding = build_text_embedding(c.TEXT_EMBEDDING, self.vocab)
-        self.vision_embedding = build_vision_embedding(c.VISION_EMBEDDING)
-        self.self_encoder = build_encoder(c.SELF_ENCODER)
-        self.guided_encoder = build_encoder(c.GUIDED_ENCODER)
-        self.fusion = PositionWiseFeedForward(c.MULTIMODAL_FUSION)
-        self.norm = nn.LayerNorm()
-        self.decoder = build_decoder(c.DECODER, vocab=self.vocab)
-
-    def encode(self, batch: BatchArrays, train: bool = False):
-        vision, vision_bias = self.vision_embedding(
+    def _vision(self, batch: BatchArrays, train: bool):
+        # only the vision stream differs from IterativeMCAN; setup/encode/
+        # __call__ are inherited (a verbatim copy used to live here and
+        # silently miss parent fixes)
+        return self.vision_embedding(
             obj_features=batch["region_features"],
             obj_boxes=batch["region_boxes"],
             ocr_det_features=batch["ocr_det_features"],
             ocr_rec_features=batch["ocr_rec_features"],
             ocr_fasttext=batch["ocr_fasttext_features"],
             ocr_boxes=batch["ocr_boxes"],
-            train=train,
-        )
-        text, (text_bias, _) = self.text_embedding(
-            batch["question_tokens"], train=train
-        )
-        text = self.self_encoder(features=text, padding_bias=text_bias, train=train)
-        vision = self.guided_encoder(
-            vision_features=vision,
-            vision_padding_bias=vision_bias,
-            language_features=text,
-            language_padding_bias=text_bias,
-            train=train,
-        )
-        fused = jnp.concatenate([vision, text], axis=1)
-        fused_bias = jnp.concatenate([vision_bias, text_bias], axis=-1)
-        fused = self.norm(self.fusion(fused, train=train))
-        return fused, fused_bias
-
-    def __call__(self, batch: BatchArrays, train: bool = False) -> jnp.ndarray:
-        encoder_features, encoder_bias = self.encode(batch, train=train)
-        return self.decoder(
-            answer_tokens=batch["answer_tokens"],
-            encoder_features=encoder_features,
-            encoder_attention_bias=encoder_bias,
             train=train,
         )

@@ -59,12 +59,14 @@ def gather_eval_dicts(
         return gts, gens
     blobs = _allgather_blobs(pickle.dumps((gts, gens)))
     merged_gts, merged_gens = {}, {}
-    for host_id, blob in enumerate(blobs):
+    for blob in blobs:
         host_gts, host_gens = pickle.loads(blob)
-        for key, value in host_gts.items():
-            merged_gts[f"h{host_id}_{key}"] = value
-        for key, value in host_gens.items():
-            merged_gens[f"h{host_id}_{key}"] = value
+        # RAW keys, no host prefix: callers key by global sample id
+        # (BaseTask.eval_key), so the duplicate batches that loader
+        # sharding wraps in at the uneven tail land on the SAME key and
+        # are scored once — a host prefix would double-count them
+        merged_gts.update(host_gts)
+        merged_gens.update(host_gens)
     return merged_gts, merged_gens
 
 

@@ -213,6 +213,17 @@ class BaseTask:
             return jax.checkpoint(forward_fn)
         return forward_fn
 
+    @staticmethod
+    def eval_key(batch, it: int, i: int) -> str:
+        """Global sample key for eval dicts: the dataset's question_id when
+        present (stable across hosts, so gather_eval_dicts merges the
+        duplicate batches that loader sharding wraps in at the uneven
+        tail), else a host-unique (process, iteration, row) triple."""
+        qids = batch.get("question_id")
+        if qids is not None:
+            return f"q{qids[i]}"
+        return f"h{jax.process_index()}_{it}_{i}"
+
     # -- observability -----------------------------------------------------------
     def log_metrics(self, payload: Dict[str, Any]) -> None:
         """Append one JSONL record to <ckpt>/metrics.jsonl (the reference

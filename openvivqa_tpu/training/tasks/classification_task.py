@@ -145,8 +145,9 @@ class ClassificationTask(BaseTask):
             for i, (gt, gen) in enumerate(zip(answers_gt, answers_gen)):
                 if not batch["sample_valid"][i]:
                     continue
-                gens[f"{it}_{i}"] = [gen]
-                gts[f"{it}_{i}"] = [gt]
+                key = self.eval_key(batch, it, i)
+                gens[key] = [gen]
+                gts[key] = [gt]
         from ...parallel.multihost import gather_eval_dicts
 
         gts, gens = gather_eval_dicts(gts, gens)

@@ -131,8 +131,9 @@ class TrainingMMF(_GreedyMMFMixin, OcrOpenEndedTask):
             for i, (gts_i, gen_i) in enumerate(zip(batch["answers"], answers_gen)):
                 if not batch["sample_valid"][i]:
                     continue
-                gens[f"{it}_{i}"] = [gen_i]
-                gts[f"{it}_{i}"] = gts_i
+                key = self.eval_key(batch, it, i)
+                gens[key] = [gen_i]
+                gts[key] = gts_i
         from ...parallel.multihost import gather_eval_dicts
 
         gts, gens = gather_eval_dicts(gts, gens)
@@ -317,8 +318,9 @@ class MmfClassificationTask(BaseTask):
             for i, (gt, gen) in enumerate(zip(answers_gt, answers_gen)):
                 if not batch["sample_valid"][i]:
                     continue
-                gens[f"{it}_{i}"] = [gen]
-                gts[f"{it}_{i}"] = [gt]
+                key = self.eval_key(batch, it, i)
+                gens[key] = [gen]
+                gts[key] = [gt]
         from ...parallel.multihost import gather_eval_dicts
 
         gts, gens = gather_eval_dicts(gts, gens)

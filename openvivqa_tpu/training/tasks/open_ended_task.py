@@ -216,8 +216,9 @@ class OpenEndedTask(BaseTask):
             for i, (gts_i, gen_i) in enumerate(zip(batch["answers"], answers_gen)):
                 if not batch["sample_valid"][i]:
                     continue
-                gens[f"{it}_{i}"] = [gen_i]
-                gts[f"{it}_{i}"] = gts_i
+                key = self.eval_key(batch, it, i)
+                gens[key] = [gen_i]
+                gts[key] = gts_i
         from ...parallel.multihost import gather_eval_dicts
 
         gts, gens = gather_eval_dicts(gts, gens)

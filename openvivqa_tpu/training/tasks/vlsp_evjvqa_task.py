@@ -89,7 +89,7 @@ class VlspEvjVqaTask(OpenEndedTask):
             for i, (gts_i, gen_i) in enumerate(zip(batch["answers"], answers_gen)):
                 if not valid[i]:
                     continue
-                key = f"{it}_{i}"
+                key = self.eval_key(batch, it, i)
                 gens[key] = gen_i
                 gts[key] = gts_i
                 overall_gens[key] = [gen_i]

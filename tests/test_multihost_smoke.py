@@ -242,11 +242,14 @@ def test_two_process_sharding_and_eval_gather(tmp_path):
     assert not (set(flat0) & set(flat1))
     assert sorted(flat0 + flat1) == list(range(12))
 
-    # both hosts hold the fully merged eval dicts
+    # both hosts hold the fully merged eval dicts under RAW keys (callers
+    # key by global sample id — BaseTask.eval_key — so wrapped duplicate
+    # batches merge instead of double-counting; a host prefix would
+    # defeat that)
     for pid in (0, 1):
         assert results[pid]["gens"] == {
-            "h0_q0": ["càfé generated 0"], "h1_q1": ["càfé generated 1"],
+            "q0": ["càfé generated 0"], "q1": ["càfé generated 1"],
         }
         assert results[pid]["gts"] == {
-            "h0_q0": ["ground truth 0"], "h1_q1": ["ground truth 1"],
+            "q0": ["ground truth 0"], "q1": ["ground truth 1"],
         }
