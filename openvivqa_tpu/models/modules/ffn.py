@@ -58,13 +58,11 @@ class PositionWiseFeedForward(nn.Module):
             ):
                 from ...ops.decode_step import fused_ffn_step
 
-                params_of = lambda m: m.variables["params"]  # noqa: E731
-                ln = params_of(self.layer_norm)
+                w = self.fused_weights()  # one source for param plumbing
                 y = fused_ffn_step(
                     inputs[:, 0, :],
-                    params_of(self.fc1)["kernel"], params_of(self.fc1)["bias"],
-                    params_of(self.fc2)["kernel"], params_of(self.fc2)["bias"],
-                    ln["scale"], ln["bias"],
+                    w["w1"], w["b1"], w["w2"], w["b2"],
+                    w["ln_scale"], w["ln_bias"],
                     interpret=mode == "interpret",
                 )
                 return y[:, None, :]

@@ -51,6 +51,13 @@ class UsualEmbedding(nn.Module):
             table = table.at[self.vocab.padding_idx].set(0.0)
             features = jnp.take(table, tokens, axis=0)
         else:
+            if self.vocab.word_embeddings is None:
+                raise ValueError(
+                    "TEXT_EMBEDDING.WORD_EMBEDDING is set but the vocab has "
+                    "no word_embeddings loaded (stale vocab cache pickled "
+                    "before WORD_EMBEDDING was configured? rebuild it, or "
+                    "align the vocab config's WORD_EMBEDDING)"
+                )
             pretrained = self.variable(
                 "frozen",
                 "embedding",
@@ -85,9 +92,19 @@ class LSTMTextEmbedding(nn.Module):
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, train: bool = False):
         masks = _token_masks(tokens, self.vocab.padding_idx)
-        if self.config.get("WORD_EMBEDDING") is not None and (
-            self.vocab.word_embeddings is not None
+        if (
+            self.config.get("WORD_EMBEDDING") is not None
+            and self.vocab.word_embeddings is None
         ):
+            # silently training a learned table where frozen pretrained
+            # vectors were configured is a different model — same policy as
+            # UsualEmbedding above
+            raise ValueError(
+                "TEXT_EMBEDDING.WORD_EMBEDDING is set but the vocab has no "
+                "word_embeddings loaded (stale vocab cache? mismatched "
+                "vocab config?)"
+            )
+        if self.config.get("WORD_EMBEDDING") is not None:
             pretrained = self.variable(
                 "frozen",
                 "embedding",
@@ -218,18 +235,27 @@ class OcrWordEmbedding(nn.Module):
 @META_TEXT_EMBEDDING.register()
 class HierarchicalFeaturesExtractor(nn.Module):
     """n-gram Conv1d hierarchy over word embeddings
-    (text_embeddings.py:248-281): for each n in N_GRAMS a Conv over the time
-    axis; outputs concatenated along time."""
+    (text_embeddings.py:248-281): each n-gram window's feature is
+    overlap-added into EVERY token position the window covers, so the
+    output stays token-aligned (bs, L, D) with the token-level masks.
+
+    This implements the reference's documented intent ('summing all
+    possible n-gram tokens into the unigram'); its own forward is broken
+    as checked out — it iterates `range(features.shape[-1])` (= D_MODEL)
+    over the TIME axis (IndexError whenever D_MODEL > L, i.e. always) and
+    mixes the conv-list index with the kernel size in the window bounds
+    (text_embeddings.py:271-279)."""
 
     config: Any
     vocab: Any
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, train: bool = False):
-        features, (pad_bias, _) = UsualEmbedding(self.config, self.vocab)(
+        features, (pad_bias, seq_bias) = UsualEmbedding(self.config, self.vocab)(
             tokens, train=train
         )
-        outputs, biases = [], []
+        length = tokens.shape[-1]
+        out = None
         for ngram in self.config.N_GRAMS:
             n = int(ngram)
             conv = nn.Conv(
@@ -238,11 +264,11 @@ class HierarchicalFeaturesExtractor(nn.Module):
                 padding="VALID",
                 kernel_init=_xavier,
             )
-            outputs.append(conv(features))
-            # window i covers tokens [i, i+n); treat it as padding when its
-            # first token is padding (the reference returns the token-level
-            # mask whose length no longer matches — a latent crash)
-            biases.append(pad_bias[..., : tokens.shape[-1] - n + 1])
-        ngram_features = jnp.concatenate(outputs, axis=1)
-        ngram_bias = jnp.concatenate(biases, axis=-1)
-        return ngram_features, (ngram_bias, causal_bias(ngram_features.shape[1]))
+            windows = conv(features)  # (bs, L-n+1, D)
+            # window p covers tokens [p, p+n): add it to each covered
+            # position (vectorised overlap-add of the reference's loops)
+            acc = jnp.zeros_like(features)
+            for offset in range(n):
+                acc = acc.at[:, offset : offset + length - n + 1].add(windows)
+            out = acc if out is None else out + acc
+        return out, (pad_bias, seq_bias)

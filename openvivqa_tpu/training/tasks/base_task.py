@@ -213,6 +213,19 @@ class BaseTask:
             return jax.checkpoint(forward_fn)
         return forward_fn
 
+    def dump_json(self, filename: str, payload: Dict[str, Any]) -> None:
+        """Primary-process-gated prediction dump into the checkpoint dir
+        (multi-host runs on a shared dir would interleave concurrent
+        writers into corrupt JSON — same policy as save_checkpoint)."""
+        import json
+
+        from ...parallel.multihost import is_primary
+
+        if not is_primary():
+            return
+        with open(os.path.join(self.checkpoint_path, filename), "w+") as handle:
+            json.dump(payload, handle, ensure_ascii=False)
+
     @staticmethod
     def eval_key(batch, it: int, i: int) -> str:
         """Global sample key for eval dicts: the dataset's question_id when

@@ -133,15 +133,21 @@ class ClassificationTask(BaseTask):
              "seconds": elapsed, **timer.summary()}
         )
 
+    def _decode_eval(self, preds: np.ndarray, batch):
+        """(gt strings, gen strings) for one batch — OCR-choice subclasses
+        override with per-sample OCR tables (ocr_tasks.py)."""
+        answers_gt = self.vocab.decode_answer(
+            batch["answer"].reshape(-1), join_word=True
+        )
+        answers_gen = self.vocab.decode_answer(preds, join_word=True)
+        return answers_gt, answers_gen
+
     def evaluate_metrics(self, dataloader) -> dict:
         _, eval_step = self._compiled()
         gens, gts = {}, {}
         for it, (batch, device_batch) in enumerate(self.device_batches(dataloader)):
             preds = np.asarray(eval_step(self.state, device_batch))
-            answers_gt = self.vocab.decode_answer(
-                batch["answer"].reshape(-1), join_word=True
-            )
-            answers_gen = self.vocab.decode_answer(preds, join_word=True)
+            answers_gt, answers_gen = self._decode_eval(preds, batch)
             for i, (gt, gen) in enumerate(zip(answers_gt, answers_gen)):
                 if not batch["sample_valid"][i]:
                     continue
@@ -176,10 +182,13 @@ class ClassificationTask(BaseTask):
         while True:
             self.train()
 
-            scores = self._filter_scores(self.evaluate_metrics(self.dev_dataloader))
+            scores = self.evaluate_metrics(self.dev_dataloader)
+            # early-stop metric from the UNFILTERED dict: a VERBOSE_SCORES
+            # list omitting TRAINING.SCORE must not KeyError validation
+            val_score = scores[self.score_name]
+            scores = self._filter_scores(scores)
             logger.info("Validation scores %s", scores)
             self.log_metrics({"phase": "validation", **scores})
-            val_score = scores[self.score_name]
 
             best = val_score > best_val_score
             if best:
@@ -187,7 +196,9 @@ class ClassificationTask(BaseTask):
             else:
                 patience += 1
 
-            exit_train = patience == self.patience_limit
+            # >= not ==: resuming a run that exited AT the limit would
+            # overshoot and never terminate (open_ended_task.py same fix)
+            exit_train = patience >= self.patience_limit
             if exit_train:
                 logger.info("patience reached.")
             if self.max_epochs is not None and self.epoch + 1 >= self.max_epochs:
@@ -221,10 +232,7 @@ class ClassificationTask(BaseTask):
             self.device_batches(self.test_dataloader)
         ):
             preds = np.asarray(eval_step(self.state, device_batch))
-            answers_gt = self.vocab.decode_answer(
-                batch["answer"].reshape(-1), join_word=True
-            )
-            answers_gen = self.vocab.decode_answer(preds, join_word=True)
+            answers_gt, answers_gen = self._decode_eval(preds, batch)
             gens, gts = {}, {}
             for i, (gt, gen) in enumerate(zip(answers_gt, answers_gen)):
                 if not batch["sample_valid"][i]:
@@ -250,8 +258,5 @@ class ClassificationTask(BaseTask):
         scores, _ = compute_scores(overall_gts, overall_gens)
         scores = self._filter_scores(scores)
         logger.info("Evaluation scores on test: %s", scores)
-        with open(
-            os.path.join(self.checkpoint_path, "test_results.json"), "w+"
-        ) as handle:
-            json.dump({"results": results, **scores}, handle, ensure_ascii=False)
+        self.dump_json("test_results.json", {"results": results, **scores})
         return scores

@@ -451,10 +451,7 @@ class OpenEndedTask(BaseTask):
 
         scores, _ = compute_scores(overall_gts, overall_gens)
         logger.info("Evaluation scores on test: %s", scores)
-        with open(
-            os.path.join(self.checkpoint_path, "test_results.json"), "w+"
-        ) as handle:
-            json.dump({"results": results, **scores}, handle, ensure_ascii=False)
+        self.dump_json("test_results.json", {"results": results, **scores})
         return scores
 
 

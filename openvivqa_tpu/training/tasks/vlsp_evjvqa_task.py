@@ -107,8 +107,7 @@ class VlspEvjVqaTask(OpenEndedTask):
             )
         scores, _ = compute_scores(overall_gts, overall_gens)
         logger.info("Evaluation scores on %s: %s", out_name, scores)
-        with open(os.path.join(self.checkpoint_path, out_name), "w+") as handle:
-            json.dump({"results": results, **scores}, handle, ensure_ascii=False)
+        self.dump_json(out_name, {"results": results, **scores})
         return scores
 
     def get_predictions(self):
