@@ -82,15 +82,9 @@ class IterativeM4C(GenerativeModel):
         # Exact under CONTEXT_BLIND masking (joint rows never attend the
         # generated prefix); the default reproduces the reference
         # semantics where they do (iterative_m4c.py:237-270).
-        self.decoding_mode = c.get("DECODING_MODE")
-        if self.decoding_mode not in (None, "incremental"):
-            raise ValueError(
-                f"MODEL.DECODING_MODE must be 'incremental' or unset, got "
-                f"{self.decoding_mode!r}"
-            )
-        self.context_blind = bool(
-            c.get("CONTEXT_BLIND") or self.decoding_mode == "incremental"
-        )
+        from .mmf_m4c import resolve_decoding_mode
+
+        self.decoding_mode, self.context_blind = resolve_decoding_mode(c)
         self.answer_cache = _ArrayCache()
         self.region_embedding = build_vision_embedding(c.REGION_EMBEDDING)
         self.grid_embedding = build_vision_embedding(c.GRID_EMBEDDING)
@@ -168,11 +162,12 @@ class IterativeM4C(GenerativeModel):
         if self.decoding_mode == "incremental":
             # context-blind: the joint prefix never attends the answer, so
             # its per-layer inputs and OCR outputs are decode-invariant —
-            # encode once here.  'enc_kv' naming skips the per-step beam
-            # gather (training/decode._gather_beams: beam-invariant rows).
-            # The raw `joint` tensor is NOT carried: the step reads only
-            # the cached per-layer inputs, so shipping it would pay beam
-            # expansion + HBM for nothing.
+            # encode once here.  (These leaves live in the ENCODER STATE
+            # that step_fn closes over — training/decode.py gathers only
+            # the mutated 'cache' collection, so they are never part of
+            # the per-step beam reorder regardless of naming.)  The raw
+            # `joint` tensor is NOT carried separately: it IS
+            # enc_kv_ctx_inputs[0] (see decode_teacher_forced).
             ctx_out, layer_inputs = self.encoder(
                 joint, joint_bias, train=False, return_layer_inputs=True
             )
@@ -217,6 +212,36 @@ class IterativeM4C(GenerativeModel):
 
         answer_out = encoded[:, joint_len:]
         ocr_out = encoded[:, ocr_start:ocr_end]
+        return self._output(answer_out, ocr_out, ocr_bias)
+
+    def decode_teacher_forced(
+        self, tokens, encoder_state, encoder_attention_bias, train=False
+    ):
+        """SCST re-scoring: this single-stream prefix-LM has no `decoder`
+        submodule for the GenerativeModel default to delegate to — mirror
+        __call__'s joint layout from the encode() state.  In incremental
+        mode the raw joint prefix is the FIRST cached layer input (the
+        state deliberately omits a separate copy)."""
+        joint = encoder_state.get("joint")
+        if joint is None:
+            joint = encoder_state["enc_kv_ctx_inputs"][0]
+        joint_len = joint.shape[1]
+        embedded_ocr = encoder_state["ocr"]
+        ocr_bias = encoder_state["ocr_bias"]
+        ocr_start = encoder_state["ocr_start"][0]
+        ocr_len = embedded_ocr.shape[1]
+
+        answer_features, answer_pad = self._answer_features(
+            tokens, embedded_ocr, train
+        )
+        answer_block = combine_biases(answer_pad, causal_bias(tokens.shape[1]))
+        features = jnp.concatenate([joint, answer_features], axis=1)
+        bias = prefix_lm_bias(encoder_attention_bias, answer_pad, answer_block)
+        if self.context_blind:
+            bias = bias.at[:, :, :joint_len, joint_len:].set(MASK_VALUE)
+        encoded = self.encoder(features, bias, train=train)
+        answer_out = encoded[:, joint_len:]
+        ocr_out = jax.lax.dynamic_slice_in_dim(encoded, ocr_start, ocr_len, axis=1)
         return self._output(answer_out, ocr_out, ocr_bias)
 
     def decode_step(self, token, encoder_state, encoder_attention_bias):
@@ -273,8 +298,12 @@ class IterativeM4C(GenerativeModel):
         position = jnp.full((bs, 1), joint_len + 1, jnp.float32) + i
 
         slots = jnp.where(jnp.arange(max_len) <= i, 0.0, MASK_VALUE)
-        slot_bias = jnp.broadcast_to(
-            slots[None, None, None, :], (bs, 1, 1, max_len)
+        slot_bias = combine_biases(
+            jnp.broadcast_to(slots[None, None, None, :], (bs, 1, 1, max_len)),
+            # mask PAD tokens among the written slots too — the quadratic
+            # step masks them (decode_step's answer_col), and beam search
+            # feeds word 0 (= padding_idx) into finished beams every step
+            padding_bias(buffer, self.vocab.padding_idx),
         )
         bias = jnp.concatenate([encoder_attention_bias, slot_bias], axis=-1)
 

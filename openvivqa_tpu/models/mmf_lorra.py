@@ -156,9 +156,13 @@ class MMF_LoRRA(_LoRRABranches, nn.Module):
         self.d_model = c.D_MODEL
         self._setup_lorra_modules()
         # mmf_lorra.yaml pairs LoRRA with OcrVocab (no total_answers) — a
-        # latent reference crash; fall back to the token vocab size
-        total_answers = getattr(self.vocab, "total_answers", len(self.vocab))
-        self.num_choices = total_answers + c.get("MAX_SCENE_TEXT", 0)
+        # latent reference crash; total_answers_of falls back to the token
+        # vocab size (and handles total_answers=None, unlike a bare getattr)
+        from .common import total_answers_of
+
+        self.num_choices = total_answers_of(self.vocab) + c.get(
+            "MAX_SCENE_TEXT", 0
+        )
         self.classifier = nn.Dense(self.num_choices, kernel_init=_normal)
 
     def _pooled(self, batch: BatchArrays, train: bool) -> jnp.ndarray:

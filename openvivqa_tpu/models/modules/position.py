@@ -53,7 +53,11 @@ class SinusoidPositionalEmbedding(nn.Module):
 
 
 class LearnedPositionalEmbedding(nn.Module):
-    """Learned additive positions (pos_embeddings.py:26-38 parity)."""
+    """Learned additive positions (pos_embeddings.py:26-38 parity).
+
+    Call-site-free like its reference counterpart — inventoried by
+    SURVEY.md §2.4 and kept for parity; live models use the masks.py /
+    sinusoid machinery instead."""
 
     d_model: int
     dropout: float = 0.1
@@ -70,7 +74,10 @@ class LearnedPositionalEmbedding(nn.Module):
 
 def interleaved_sincos_table(max_len: int, d_model: int) -> np.ndarray:
     """Transformer sin/cos table with exp-log frequency spacing
-    (pos_embeddings.py:6-24 parity)."""
+    (pos_embeddings.py:6-24 parity).  Call-site-free parity artifact:
+    numerically equal to masks.sinusoid_encoding_table, which additionally
+    supports padding_idx and is what live modules use — new code should
+    call THAT, not this."""
     position = np.arange(max_len, dtype=np.float32)[:, None]
     div_term = np.exp(
         np.arange(0, d_model, 2, dtype=np.float32) * (-math.log(10000.0) / d_model)

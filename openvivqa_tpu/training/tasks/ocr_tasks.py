@@ -26,7 +26,7 @@ from ...builders import META_TASK
 from ...evaluation import compute_scores
 from ...logging_utils import setup_logger
 from ..checkpoint import BEST_NAME
-from ..train_state import nll_loss
+from ..train_state import bce_with_logits_loss, nll_loss
 from .classification_task import ClassificationTask
 from .open_ended_task import OpenEndedTask
 
@@ -216,17 +216,9 @@ class MmfClassificationTask(ClassificationTask):
 
         def loss_fn(params):
             results = forward(params)
-            scores = results["scores"]
-            targets = jax.nn.one_hot(
-                batch["answer"].reshape(-1), scores.shape[-1], dtype=scores.dtype
-            )
-            # BCEWithLogitsLoss(reduction='mean') over one-hot targets
-            losses = jnp.maximum(scores, 0) - scores * targets + jnp.log1p(
-                jnp.exp(-jnp.abs(scores))
-            )
-            weights = batch["sample_valid"].astype(scores.dtype)[:, None]
-            return jnp.sum(losses * weights) / jnp.maximum(
-                jnp.sum(weights) * scores.shape[-1], 1.0
+            return bce_with_logits_loss(
+                results["scores"], batch["answer"].reshape(-1),
+                weights=batch["sample_valid"],
             )
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)

@@ -47,17 +47,25 @@ class TrainState(struct.PyTreeNode):
 
 
 def bce_with_logits_loss(
-    scores: jnp.ndarray, targets: jnp.ndarray
+    scores: jnp.ndarray, targets: jnp.ndarray, weights=None
 ) -> jnp.ndarray:
     """BCEWithLogitsLoss(reduction='mean') over one-hot targets
-    (classification_task.py:20-31 / mmf_classification_task.py:20-31)."""
+    (classification_task.py:20-31 / mmf_classification_task.py:20-31).
+    `weights`: optional (bs,) row validity — padded batch rows contribute
+    neither loss nor denominator (the canonical copy MmfClassificationTask
+    calls; it used to re-implement the formula inline)."""
     one_hot = jax.nn.one_hot(targets, scores.shape[-1], dtype=scores.dtype)
     losses = (
         jnp.maximum(scores, 0)
         - scores * one_hot
         + jnp.log1p(jnp.exp(-jnp.abs(scores)))
     )
-    return jnp.mean(losses)
+    if weights is None:
+        return jnp.mean(losses)
+    weights = weights.astype(scores.dtype)[:, None]
+    return jnp.sum(losses * weights) / jnp.maximum(
+        jnp.sum(weights) * scores.shape[-1], 1.0
+    )
 
 
 def masked_bce_with_logits_loss(
@@ -66,7 +74,11 @@ def masked_bce_with_logits_loss(
     """BCEWithMaskLogitsLoss (training_mmf_task.py:18-37): per-position BCE
     on one-hot targets, rows whose target == ignore_index zeroed, summed and
     divided by the number of *masked* rows (the reference's quirk: it counts
-    the ignored rows, max'd with 1) — kept bit-faithful."""
+    the ignored rows, max'd with 1) — kept bit-faithful.
+
+    Deliberately call-site-free, like the reference: it defines this loss
+    and comments it out of use (training_mmf_task.py:44); kept as the
+    parity artifact SURVEY.md §2.2 inventories."""
     one_hot = jax.nn.one_hot(targets, scores.shape[-1], dtype=scores.dtype)
     losses = (
         jnp.maximum(scores, 0)

@@ -321,6 +321,18 @@ def test_iterative_m4c_forward_and_beam():
     assert outs.shape == (2, vocab.max_answer_length)
     assert (np.asarray(outs) < len(vocab) + K_OCR).all()
 
+    # SCST re-scoring path: decode_teacher_forced over encode() state must
+    # equal the training forward on the same answers (the single-stream
+    # model had no override and crashed on the GenerativeModel default)
+    def rescore(mdl, b):
+        state, bias = mdl.encode(b, train=False)
+        return mdl.decode_teacher_forced(b["answer_tokens"], state, bias)
+
+    got = model.apply(variables, batch, method=rescore)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(got), atol=1e-5
+    )
+
 
 def test_scst_decode_batch_beam_row_alignment():
     """ADVICE r1: with out_size=beam the SCST path hands _decode_batch a
