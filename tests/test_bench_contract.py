@@ -52,6 +52,25 @@ def test_error_path_keeps_partials():
     assert out["beam_samples_per_sec"] is None  # unmeasured -> null, not absent
 
 
+def test_unmeasured_value_is_null_not_zero():
+    # VERDICT r3 item 1c: "no measurement" must not read as a measured 0.0.
+    out = json.loads(bench._final_json({}, "tpu_unreachable: canary hang"))
+    assert out["value"] is None
+    assert out["vs_baseline"] is None
+    assert out["error"].startswith("tpu_unreachable")
+
+
+def test_retry_ladder_fits_driver_window():
+    # BENCH_r03 was rc=124: the old 1500+900+420 ladder overran the
+    # driver's ~1500s kill window before the final JSON line printed.
+    worst_case = (
+        bench.CANARY_BUDGET_S
+        + sum(bench.WORKER_BUDGETS)
+        + bench.RETRY_SLEEP_S * (len(bench.WORKER_BUDGETS) - 1)
+    )
+    assert worst_case <= 1350, worst_case
+
+
 def test_every_vs_baseline_metric_maps_to_an_anchor():
     vs_keys = [k for k in bench.RESULT_KEYS if k.startswith("vs_baseline")]
     assert set(vs_keys) == set(ANCHOR_OF), (
