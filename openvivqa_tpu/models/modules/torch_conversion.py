@@ -362,6 +362,24 @@ def convert_joint_transformer(state_dict: Mapping[str, Any], config) -> Dict:
     }
 
 
+def convert_saaa(state_dict: Mapping[str, Any], config) -> Dict:
+    """Reference SAAA (saaa.py:68-126) -> our tree (models/saaa.py): vision
+    FeatureEmbedding, LSTM text embedding, CoAttention's three linears
+    (v_conv bias-free, q_lin, x_conv), two-layer classifier."""
+    sd = StateDict(state_dict)
+    return {
+        "FeatureEmbedding_0": {"Dense_0": linear(sd, "vision.proj")},
+        "LSTMTextEmbedding_0": convert_text_embedding(sd, "text"),
+        "CoAttention_0": {
+            "Dense_0": linear(sd, "attention.v_conv"),
+            "Dense_1": linear(sd, "attention.q_lin"),
+            "Dense_2": linear(sd, "attention.x_conv"),
+        },
+        "Dense_0": linear(sd, "classifier.lin1"),
+        "Dense_1": linear(sd, "classifier.lin2"),
+    }
+
+
 def convert_mmf_language_adaptive(state_dict: Mapping[str, Any], config) -> Dict:
     """MMF_LanguageAdaptiveM4C: MMF_M4C body + PretrainedAdaptiveTextBert
     (mmf_language_adaptive_m4c.py:204-251 — one frozen multilingual
@@ -558,6 +576,7 @@ MODEL_CONVERTERS = {
     "IterativeMCAN": convert_iterative_mcan,
     "ReadableIterativeMCAN": convert_iterative_mcan,
     "MCAN": convert_mcan,
+    "SAAA": convert_saaa,
     "MMF_M4C": convert_mmf_m4c,
     "MMF_ImprovedDecodingM4C": convert_mmf_m4c,
     "MMF_REGIONAL_M4C": convert_mmf_regional_m4c,
