@@ -308,11 +308,13 @@ class OpenEndedTask(BaseTask):
             # final partial batch would understate the epoch reward
             running_reward += float(reward[:n_real].mean()) if n_real else 0.0
             count += 1
+        mean_loss = running_loss / max(count, 1)
+        mean_reward = running_reward / max(count, 1)
         logger.info(
             "Epoch %d - SCST: loss=%.4f reward=%.4f (%d it)",
-            self.epoch, running_loss / max(count, 1),
-            running_reward / max(count, 1), count,
+            self.epoch, mean_loss, mean_reward, count,
         )
+        return mean_loss, mean_reward
 
     def _switch_to_scst(self, resume: bool = False):
         """Swap the optimizer to Adam(rl_learning_rate) for self-critical
