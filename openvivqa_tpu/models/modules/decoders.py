@@ -23,6 +23,32 @@ from .masks import causal_bias, combine_biases, padding_bias, sinusoid_encoding_
 _xavier = nn.initializers.xavier_uniform()
 
 
+class _DecodePrecast(nn.Module):
+    """Decode-scan-invariant operands of the fused layer step (bf16 copies
+    of the fused weights + the projected/cast encoder K/V), stored in the
+    'decode_prep' collection.
+
+    XLA does not hoist loop invariants out of `lax.scan` bodies (measured:
+    CLAUDE.md), so casting the ~45 MB of fused weights + enc K/V inside the
+    decode scan re-converts them EVERY step.  `training/decode.generate`
+    runs one decode-step trace with 'decode_prep' mutable BEFORE the scan;
+    the bundle created there is threaded into the scan step as a read-only
+    collection, so the casts execute once per generate() call.
+
+    Returns None when no prep is available or creatable — legacy callers
+    (a bare decode_step apply with only 'cache' mutable) fall back to the
+    per-step casts and keep their original cache structure."""
+
+    @nn.compact
+    def __call__(self, compute_fn):
+        if not (
+            self.has_variable("decode_prep", "bundle")
+            or self.is_mutable_collection("decode_prep")
+        ):
+            return None
+        return self.variable("decode_prep", "bundle", compute_fn).value
+
+
 class _PositionCounter(nn.Module):
     """Scalar decode-step counter in the 'cache' collection (flax variables
     must be created in a compact method)."""
@@ -44,6 +70,7 @@ class DecoderLayer(nn.Module):
         self.self_attn = MultiHeadAttention(self.config.SELF_ATTENTION)
         self.enc_attn = MultiHeadAttention(self.config.ENC_ATTENTION)
         self.pwff = PositionWiseFeedForward(self.config.ENC_ATTENTION)
+        self.precast = _DecodePrecast()
 
     def __call__(
         self,
@@ -112,8 +139,7 @@ class DecoderLayer(nn.Module):
 
         bs = queries.shape[0]
         hd = core.h * core.d_k
-        ek, ev = ca.fill_enc_cache(keys, values)
-        sk = ek.shape[1]
+        sk = keys.shape[1]  # preserved by the enc K/V projection
         d_ff = int(self.pwff.config.D_FF)
         weight_bytes = 4 if mode == "interpret" else 2
         if (
@@ -125,29 +151,48 @@ class DecoderLayer(nn.Module):
             return None
 
         import math
+        import os
 
         interpret = mode == "interpret"
-        cast = (
-            (lambda w: w)
-            if interpret
-            else (lambda w: w.astype(jnp.bfloat16))
-        )
 
-        def cast_mats(wdict, mat_keys):
-            return {
-                k: (cast(v) if k in mat_keys else v) for k, v in wdict.items()
-            }
-
-        self_w = cast_mats(sa.fused_weights(), ("wq", "wk", "wv", "wo"))
-        cross_full = ca.fused_weights()
-        cross_w = cast_mats(
-            {
-                k: cross_full[k]
-                for k in ("wq", "bq", "wo", "bo", "ln_scale", "ln_bias")
-            },
-            ("wq", "wo"),
+        # Scan-invariant operands: read the pre-cast bundle computed once
+        # outside the decode scan (see _DecodePrecast) when one is
+        # available; otherwise cast per step (legacy bare-apply callers).
+        prep = (
+            self.precast(lambda: self._precast_bundle(keys, values, interpret))
+            if os.environ.get("OPENVIVQA_DECODE_PRECAST", "1") != "0"
+            else None
         )
-        ffn_w = cast_mats(self.pwff.fused_weights(), ("w1", "w2"))
+        if prep is not None:
+            self_w, cross_w, ffn_w = (
+                prep["self_w"], prep["cross_w"], prep["ffn_w"]
+            )
+            ek_c, ev_c = prep["enc_k"], prep["enc_v"]
+        else:
+            cast = (
+                (lambda w: w)
+                if interpret
+                else (lambda w: w.astype(jnp.bfloat16))
+            )
+
+            def cast_mats(wdict, mat_keys):
+                return {
+                    k: (cast(v) if k in mat_keys else v)
+                    for k, v in wdict.items()
+                }
+
+            self_w = cast_mats(sa.fused_weights(), ("wq", "wk", "wv", "wo"))
+            cross_full = ca.fused_weights()
+            cross_w = cast_mats(
+                {
+                    k: cross_full[k]
+                    for k in ("wq", "bq", "wo", "bo", "ln_scale", "ln_bias")
+                },
+                ("wq", "wo"),
+            )
+            ffn_w = cast_mats(self.pwff.fused_weights(), ("w1", "w2"))
+            ek, ev = ca.fill_enc_cache(keys, values)
+            ek_c, ev_c = cast(ek), cast(ev)
 
         ebias = (
             enc_bias[:, 0, 0, :]
@@ -167,8 +212,8 @@ class DecoderLayer(nn.Module):
             "self_w": self_w,
             "cross_w": cross_w,
             "ffn_w": ffn_w,
-            "enc_k": cast(ek),
-            "enc_v": cast(ev),
+            "enc_k": ek_c,
+            "enc_v": ev_c,
             "enc_bias": ebias,
             "scale": 1.0 / math.sqrt(core.d_k),
             "h": core.h,
@@ -176,6 +221,42 @@ class DecoderLayer(nn.Module):
         }
         y = sa.run_layer_step(bundle, step_bias, max_decode_len)
         return y[:, None, :]
+
+    def _precast_bundle(self, keys, values, interpret: bool):
+        """Compute the scan-invariant megakernel operands ONCE: bf16 copies
+        of the fused self/cross/FFN weights plus the projected (and cast)
+        encoder K/V.  Runs inside the 'decode_prep' creation trace — i.e.
+        before the decode scan — so none of this recomputes per step.
+        In interpret mode (CPU tests) the cast is the identity, matching
+        the per-step path bit-for-bit."""
+        sa, ca = self.self_attn, self.enc_attn
+        cast = (
+            (lambda w: w)
+            if interpret
+            else (lambda w: w.astype(jnp.bfloat16))
+        )
+
+        def cast_mats(wdict, mat_keys):
+            return {
+                k: (cast(v) if k in mat_keys else v) for k, v in wdict.items()
+            }
+
+        ccore = ca.attention
+        ek, ev = ccore.fc_k(keys), ccore.fc_v(values)
+        cross_full = ca.fused_weights()
+        return {
+            "self_w": cast_mats(sa.fused_weights(), ("wq", "wk", "wv", "wo")),
+            "cross_w": cast_mats(
+                {
+                    k: cross_full[k]
+                    for k in ("wq", "bq", "wo", "bo", "ln_scale", "ln_bias")
+                },
+                ("wq", "wo"),
+            ),
+            "ffn_w": cast_mats(self.pwff.fused_weights(), ("w1", "w2")),
+            "enc_k": cast(ek),
+            "enc_v": cast(ev),
+        }
 
 
 @META_DECODER.register()

@@ -206,11 +206,14 @@ def generate(
         if encoder_bias is not None
         else None
     )
-    step_fn = make_generative_step_fn(model, variables)(enc_b, bias_b)
-    init_cache = init_cache_for(
+    init_cache, decode_prep = init_cache_and_prep(
         model, variables, enc_b, bias_b, model.vocab.bos_idx,
         batch_size * beam_size,
     )
+    step_variables = (
+        {**variables, "decode_prep": decode_prep} if decode_prep else variables
+    )
+    step_fn = make_generative_step_fn(model, step_variables)(enc_b, bias_b)
     return beam_search(
         step_fn,
         init_cache,
@@ -245,7 +248,12 @@ def make_generative_step_fn(model, variables_without_cache: Dict):
 
 
 def init_cache_for(model, variables_without_cache, encoder_features, encoder_bias, bos_idx, n_rows):
-    """Create the zero cache pytree by tracing one decode step."""
+    """Create the zero cache pytree by tracing one decode step.
+
+    Legacy single-collection variant: the cache it returns matches a
+    step_fn built WITHOUT 'decode_prep' (per-step weight casts, enc K/V
+    cached in the 'cache' collection).  `generate` uses
+    `init_cache_and_prep` instead."""
     dummy = jnp.full((n_rows, 1), bos_idx, jnp.int32)
     _, mutated = model.apply(
         {**variables_without_cache},
@@ -256,3 +264,30 @@ def init_cache_for(model, variables_without_cache, encoder_features, encoder_bia
         mutable=["cache"],
     )
     return jax.tree.map(jnp.zeros_like, mutated["cache"])
+
+
+def init_cache_and_prep(
+    model, variables_without_cache, encoder_features, encoder_bias, bos_idx, n_rows
+):
+    """One decode-step trace with 'decode_prep' mutable: returns the zeroed
+    cache pytree PLUS the scan-invariant pre-cast bundle (bf16 fused
+    weights + projected enc K/V; see modules/decoders._DecodePrecast).
+
+    The bundle is computed here — OUTSIDE the decode scan — and threaded
+    into step_fn as a read-only collection, so the ~45 MB of per-step
+    weight/enc-K/V casts the scan body used to re-run every step (XLA does
+    not hoist scan invariants) execute exactly once per generate() call.
+    The two traces must agree on cache structure, which they do by
+    construction: the fused path skips the 'cache'-collection enc K/V
+    buffers exactly when a prep bundle is available, in both traces."""
+    dummy = jnp.full((n_rows, 1), bos_idx, jnp.int32)
+    _, mutated = model.apply(
+        {**variables_without_cache},
+        dummy,
+        encoder_features,
+        encoder_bias,
+        method=model.decode_step,
+        mutable=["cache", "decode_prep"],
+    )
+    init_cache = jax.tree.map(jnp.zeros_like, mutated["cache"])
+    return init_cache, mutated.get("decode_prep", {})
