@@ -787,8 +787,9 @@ def orchestrate(precompile: bool = False) -> None:
                     _consume(raw)
         if error is None:
             break
-        print(f"# bench {error}; retrying", file=sys.stderr, flush=True)
-        time.sleep(RETRY_SLEEP_S)
+        if attempt + 1 < len(budgets):
+            print(f"# bench {error}; retrying", file=sys.stderr, flush=True)
+            time.sleep(RETRY_SLEEP_S)
     try:
         os.unlink(partials_path)
     except OSError:

@@ -23,6 +23,12 @@ from .masks import causal_bias, combine_biases, padding_bias, sinusoid_encoding_
 _xavier = nn.initializers.xavier_uniform()
 
 
+def _fused_cast(interpret: bool):
+    """Matrix-operand cast for the decode megakernels: bf16 on hardware,
+    identity in interpret mode (CPU tests compare bit-for-bit in f32)."""
+    return (lambda w: w) if interpret else (lambda w: w.astype(jnp.bfloat16))
+
+
 class _DecodePrecast(nn.Module):
     """Decode-scan-invariant operands of the fused layer step (bf16 copies
     of the fused weights + the projected/cast encoder K/V), stored in the
@@ -169,28 +175,8 @@ class DecoderLayer(nn.Module):
             )
             ek_c, ev_c = prep["enc_k"], prep["enc_v"]
         else:
-            cast = (
-                (lambda w: w)
-                if interpret
-                else (lambda w: w.astype(jnp.bfloat16))
-            )
-
-            def cast_mats(wdict, mat_keys):
-                return {
-                    k: (cast(v) if k in mat_keys else v)
-                    for k, v in wdict.items()
-                }
-
-            self_w = cast_mats(sa.fused_weights(), ("wq", "wk", "wv", "wo"))
-            cross_full = ca.fused_weights()
-            cross_w = cast_mats(
-                {
-                    k: cross_full[k]
-                    for k in ("wq", "bq", "wo", "bo", "ln_scale", "ln_bias")
-                },
-                ("wq", "wo"),
-            )
-            ffn_w = cast_mats(self.pwff.fused_weights(), ("w1", "w2"))
+            cast = _fused_cast(interpret)
+            self_w, cross_w, ffn_w = self._cast_weight_bundles(interpret)
             ek, ev = ca.fill_enc_cache(keys, values)
             ek_c, ev_c = cast(ek), cast(ev)
 
@@ -222,6 +208,33 @@ class DecoderLayer(nn.Module):
         y = sa.run_layer_step(bundle, step_bias, max_decode_len)
         return y[:, None, :]
 
+    def _cast_weight_bundles(self, interpret: bool):
+        """(self_w, cross_w, ffn_w) fused-weight dicts with matrix entries
+        cast for the kernel — the ONE place the key sets and cast policy
+        live; both the per-step fallback and the pre-cast bundle use it,
+        keeping the prep-on/prep-off bit-equivalence structural."""
+        cast = _fused_cast(interpret)
+
+        def cast_mats(wdict, mat_keys):
+            return {
+                k: (cast(v) if k in mat_keys else v) for k, v in wdict.items()
+            }
+
+        cross_full = self.enc_attn.fused_weights()
+        return (
+            cast_mats(
+                self.self_attn.fused_weights(), ("wq", "wk", "wv", "wo")
+            ),
+            cast_mats(
+                {
+                    k: cross_full[k]
+                    for k in ("wq", "bq", "wo", "bo", "ln_scale", "ln_bias")
+                },
+                ("wq", "wo"),
+            ),
+            cast_mats(self.pwff.fused_weights(), ("w1", "w2")),
+        )
+
     def _precast_bundle(self, keys, values, interpret: bool):
         """Compute the scan-invariant megakernel operands ONCE: bf16 copies
         of the fused self/cross/FFN weights plus the projected (and cast)
@@ -229,31 +242,14 @@ class DecoderLayer(nn.Module):
         before the decode scan — so none of this recomputes per step.
         In interpret mode (CPU tests) the cast is the identity, matching
         the per-step path bit-for-bit."""
-        sa, ca = self.self_attn, self.enc_attn
-        cast = (
-            (lambda w: w)
-            if interpret
-            else (lambda w: w.astype(jnp.bfloat16))
-        )
-
-        def cast_mats(wdict, mat_keys):
-            return {
-                k: (cast(v) if k in mat_keys else v) for k, v in wdict.items()
-            }
-
-        ccore = ca.attention
+        cast = _fused_cast(interpret)
+        self_w, cross_w, ffn_w = self._cast_weight_bundles(interpret)
+        ccore = self.enc_attn.attention
         ek, ev = ccore.fc_k(keys), ccore.fc_v(values)
-        cross_full = ca.fused_weights()
         return {
-            "self_w": cast_mats(sa.fused_weights(), ("wq", "wk", "wv", "wo")),
-            "cross_w": cast_mats(
-                {
-                    k: cross_full[k]
-                    for k in ("wq", "bq", "wo", "bo", "ln_scale", "ln_bias")
-                },
-                ("wq", "wo"),
-            ),
-            "ffn_w": cast_mats(self.pwff.fused_weights(), ("w1", "w2")),
+            "self_w": self_w,
+            "cross_w": cross_w,
+            "ffn_w": ffn_w,
             "enc_k": cast(ek),
             "enc_v": cast(ev),
         }

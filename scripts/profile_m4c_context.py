@@ -82,8 +82,18 @@ def _time_stage(model, params, batch, stage_fn, chain):
     def chain_fn(params, batch):
         def body(carry, _):
             b = dict(batch)
+            # the carry must reach EVERY stage's inputs or XLA may hoist
+            # the iteration as loop-invariant: float stages read
+            # region_features; the txt stage reads only question_tokens,
+            # so roll the batch rows by a carry-derived shift (keeps token
+            # content/padding valid while forcing the data dependence)
             b["region_features"] = batch["region_features"] + carry * 1e-9
-            b["question_tokens"] = batch["question_tokens"]
+            shift = (carry * 1e12).astype(jnp.int32) % (
+                batch["question_tokens"].shape[0]
+            )
+            b["question_tokens"] = jnp.roll(
+                batch["question_tokens"], shift, axis=0
+            )
             out = model.apply(
                 {"params": params}, b, method=stage_fn, mutable=["cache"]
             )[0]

@@ -86,6 +86,8 @@ _SLOW_MODULES = {
     "test_decode_kernel",
     "test_aux_modules",
     "test_migrate_tool",
+    "test_decode_precast",
+    "test_m4c_context_routing",
 }
 
 
