@@ -352,6 +352,20 @@ class MMT(nn.Module):
             dec_emb, dec_caches, ctx_len + step, bias
         )
 
+    def init_fused_decode(self, context, dec_len: int):
+        """Kernel-D fused decode state (one pallas_call per sublayer per
+        step; see BertEncoderStack.init_fused_decode_state) — or None when
+        the kernels cannot engage (off-TPU / VMEM misfit), in which case
+        callers fall back to init_decode_caches + decode_step."""
+        return self.encoder.init_fused_decode_state(
+            context["context_kv"], context["col_bias"], dec_len
+        )
+
+    def fused_decode_step(self, dec_emb, state, slot_caches, step):
+        """Kernel-D decode step (exact decode_step semantics; equivalence
+        pinned in tests/test_fused_m4c_step.py)."""
+        return self.encoder.fused_decode_step(dec_emb, state, slot_caches, step)
+
 
 def ocr_joint_features(batch, normalize: bool = True) -> jnp.ndarray:
     """[fasttext, rec, det] concat (mmf_m4c.py:168-186 ordering)."""

@@ -242,10 +242,18 @@ class MMF_M4C(nn.Module):
         )
         ctx_ocr = context["ctx_out"][:, context["ocr_begin"]:context["ocr_end"]]
         max_iter = self.max_iter
-        # per-layer joint [context | dec slots] (K, V) caches in PROJECTED
-        # space — decode steps project and write only the new token's row
-        # (see BertEncoderStack.decode_step)
-        caches, bias_base = self.mmt.init_decode_caches(context, max_iter)
+        # kernel-D fused path (TPU): one pallas_call per sublayer per step
+        # over read-only context K/V + slot-only caches; falls back to the
+        # XLA path with joint [context | dec slots] caches — decode steps
+        # project and write only the new token's row either way
+        # (see BertEncoderStack.{fused_,}decode_step)
+        fused_state = self.mmt.init_fused_decode(context, max_iter)
+        if fused_state is not None:
+            init_caches = fused_state["slots"]
+        else:
+            init_caches, bias_base = self.mmt.init_decode_caches(
+                context, max_iter
+            )
         fixed_ans_emb = self._fixed_ans_emb()
         dec_table = self.mmt.build_dec_table(fixed_ans_emb, ocr_emb)
         ans_num = fixed_ans_emb.shape[0]
@@ -253,9 +261,14 @@ class MMF_M4C(nn.Module):
         def body(mdl, carry, step):
             prev_token, caches = carry
             dec_emb = mdl.mmt.embed_step(dec_table, ans_num, prev_token, step)
-            out, caches = mdl.mmt.decode_step(
-                dec_emb, context, caches, bias_base, step
-            )
+            if fused_state is not None:
+                out, caches = mdl.mmt.fused_decode_step(
+                    dec_emb, fused_state, caches, step
+                )
+            else:
+                out, caches = mdl.mmt.decode_step(
+                    dec_emb, context, caches, bias_base, step
+                )
             fixed = mdl.classifier(out)
             dynamic = mdl.ocr_ptr_net(out, ctx_ocr, ocr_bias)
             scores = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0]
@@ -270,7 +283,7 @@ class MMF_M4C(nn.Module):
             out_axes=0,
         )
         bos = jnp.full((bs,), self.vocab.bos_idx, jnp.int32)
-        (_, _), all_scores = scan(self, (bos, caches), jnp.arange(max_iter))
+        (_, _), all_scores = scan(self, (bos, init_caches), jnp.arange(max_iter))
         scores = jnp.moveaxis(all_scores, 0, 1)  # (bs, T, V+K)
         prev_inds = jnp.concatenate(
             [bos[:, None], jnp.argmax(scores[:, :-1], axis=-1).astype(jnp.int32)],

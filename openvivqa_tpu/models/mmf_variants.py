@@ -35,6 +35,7 @@ from .m4c_common import (
 )
 from .m4c_common import PrevPredEmbeddings
 from .mmf_m4c import MMF_M4C
+from .modules.bert import decode_cache_dtype
 from .modules.bert import LN_EPS, BertEncoderStack, BertLayer
 from .modules.masks import (
     MASK_VALUE,
@@ -187,17 +188,23 @@ class _IterativeM4CBase(MMF_M4C):
         max_iter = self.max_iter
         # per-layer (K, V) self-attention caches in PROJECTED space, plus
         # the cross-attention K/V of the (step-invariant) encoder states
-        # projected ONCE instead of at every decode step
+        # projected ONCE instead of at every decode step.  Both stored in
+        # decode_cache_dtype() (bf16 on TPU — the attend paths round K/V
+        # operands to bf16 anyway; see modules/bert.decode_cache_dtype)
+        cache_dtype = decode_cache_dtype()
         caches = tuple(
             tuple(
-                jnp.zeros((bs, max_iter, self.hidden_size), ctx_ocr.dtype)
+                jnp.zeros((bs, max_iter, self.hidden_size), cache_dtype)
                 for _ in range(2)
             )
             for _ in range(self.dec_layers)
         )
         cross_kvs = tuple(
-            layer.project_cross_kv(
-                enc["all_states"][i] if self.multilevel else enc["encoded"]
+            tuple(
+                x.astype(cache_dtype)
+                for x in layer.project_cross_kv(
+                    enc["all_states"][i] if self.multilevel else enc["encoded"]
+                )
             )
             for i, layer in enumerate(self.decoder_layers)
         )
@@ -221,10 +228,10 @@ class _IterativeM4CBase(MMF_M4C):
             for i, layer in enumerate(mdl.decoder_layers):
                 k_new, v_new = layer.project_kv(dec)
                 k_cache = jax.lax.dynamic_update_slice_in_dim(
-                    caches[i][0], k_new, step, axis=1
+                    caches[i][0], k_new.astype(caches[i][0].dtype), step, axis=1
                 )
                 v_cache = jax.lax.dynamic_update_slice_in_dim(
-                    caches[i][1], v_new, step, axis=1
+                    caches[i][1], v_new.astype(caches[i][1].dtype), step, axis=1
                 )
                 new_caches.append((k_cache, v_cache))
                 dec = layer.decode_step(

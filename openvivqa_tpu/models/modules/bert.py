@@ -10,6 +10,7 @@ all-hidden-states output (needed by MMF_Iterative_Multilevel_M4C).
 
 from __future__ import annotations
 
+import os
 from typing import Any, List, Optional, Tuple
 
 import jax
@@ -18,6 +19,29 @@ from flax import linen as nn
 
 LN_EPS = 1e-12
 _normal = nn.initializers.normal(stddev=0.02)
+
+
+def decode_cache_dtype() -> jnp.dtype:
+    """Storage dtype for incremental-decode K/V caches.
+
+    On TPU both attend paths already round K/V matmul operands to bf16 —
+    the Pallas packed kernel casts in-VMEM (ops/fused_attention.py) and
+    default-precision XLA matmuls round f32 operands in the MXU — so
+    storing the caches in bf16 is value-identical on the attend path while
+    halving the dominant per-step HBM read (4 layers x 2 x (bs, C+T, h)
+    f32 at MMF dims is ~180 MB re-read per decode step) and the scan-carry
+    footprint.  Off-TPU (the CPU test mesh) the XLA fallback computes
+    true-f32 dots, so caches stay f32 to keep incremental-vs-quadratic
+    equivalence bit-exact there.  OPENVIVQA_KV_CACHE_DTYPE=f32|bf16
+    overrides for A/B benchmarking."""
+    mode = os.environ.get("OPENVIVQA_KV_CACHE_DTYPE", "auto")
+    if mode == "f32":
+        return jnp.float32
+    if mode == "bf16":
+        return jnp.bfloat16
+    from ...ops.fused_attention import _on_tpu
+
+    return jnp.bfloat16 if _on_tpu() else jnp.float32
 
 
 def _xla_attention(
@@ -366,14 +390,173 @@ class BertEncoderStack(nn.Module):
         followed by dec_len zeroed slots that decode_step fills IN PLACE
         (single-row dynamic updates on the scan carry — the per-step
         [context, cache] concatenation of the naive layout was measured
-        1.3x slower than even full K/V re-projection at MMF dims)."""
+        1.3x slower than even full K/V re-projection at MMF dims).
+        Stored in decode_cache_dtype() (bf16 on TPU: the attend paths
+        round K/V to bf16 anyway, so this halves per-step HBM reads for
+        free)."""
+        dtype = decode_cache_dtype()
+
         def with_slots(x):
             bs, _, h = x.shape
             return jnp.concatenate(
-                [x, jnp.zeros((bs, dec_len, h), x.dtype)], axis=1
+                [x.astype(dtype), jnp.zeros((bs, dec_len, h), dtype)], axis=1
             )
 
         return tuple((with_slots(k), with_slots(v)) for k, v in context_kv)
+
+    # -- kernel-D fused decode (ops/decode_step.py) -------------------------
+    # One pallas_call per sublayer instead of ~12 XLA ops: the M4C decode
+    # step was measured op-LATENCY-bound (0.62 ms/step at MMF dims spread
+    # over ~60 tiny ops), so op-count is the only lever left.  The context
+    # K/V is read-only in the kernel (it never changes across steps) and
+    # only the (bs, T, h) slot caches ride the scan carry.
+
+    def fused_step_bundles(self, bs: int, ctx_len: int, dec_len: int):
+        """Per-layer fused-step weight bundles (matrices cast to bf16 on
+        hardware — MXU default precision rounds operands to bf16 anyway;
+        identity in interpret mode for the CPU equivalence tests).  Call
+        ONCE outside the decode scan: XLA does not hoist scan invariants,
+        so casting inside the body would re-convert ~14 MB per step.
+        Returns None when the kernels cannot engage (off-TPU, cross
+        attention, VMEM plan misfit)."""
+        from ...ops.decode_step import (
+            bert_self_step_plan,
+            decode_kernel_mode,
+            decode_kernel_parts,
+            ffn_step_viable,
+        )
+
+        mode = decode_kernel_mode()
+        hd = self.hidden_size
+        d_ff = self.intermediate_size or 4 * hd
+        if (
+            mode == "off"
+            or "layer" not in decode_kernel_parts()
+            or self.cross_attention
+            or hd % self.num_heads
+        ):
+            return None
+        interpret = mode == "interpret"
+        wb = 4 if interpret else 2
+        cb = 2 if decode_cache_dtype() == jnp.bfloat16 else 4
+        plan = bert_self_step_plan(bs, ctx_len, dec_len, hd, cb, wb)
+        if plan is None or ffn_step_viable(bs, hd, d_ff, wb) is None:
+            return None
+
+        cast = (lambda w: w) if interpret else (lambda w: w.astype(jnp.bfloat16))
+        params_of = lambda m: m.variables["params"]  # noqa: E731
+        layers = []
+        for layer in self.layers:
+            sa = layer.BertSelfAttention_0
+            sa_ln = params_of(sa.LayerNorm_0)
+            ffn_ln = params_of(layer.LayerNorm_0)
+            layers.append(
+                {
+                    "self": {
+                        "wq": cast(params_of(sa.Dense_0)["kernel"]),
+                        "bq": params_of(sa.Dense_0)["bias"],
+                        "wk": cast(params_of(sa.Dense_1)["kernel"]),
+                        "bk": params_of(sa.Dense_1)["bias"],
+                        "wv": cast(params_of(sa.Dense_2)["kernel"]),
+                        "bv": params_of(sa.Dense_2)["bias"],
+                        "wo": cast(params_of(sa.Dense_3)["kernel"]),
+                        "bo": params_of(sa.Dense_3)["bias"],
+                        "ln_scale": sa_ln["scale"],
+                        "ln_bias": sa_ln["bias"],
+                    },
+                    "ffn": {
+                        "w1": cast(params_of(layer.Dense_0)["kernel"]),
+                        "b1": params_of(layer.Dense_0)["bias"],
+                        "w2": cast(params_of(layer.Dense_1)["kernel"]),
+                        "b2": params_of(layer.Dense_1)["bias"],
+                        "ln_scale": ffn_ln["scale"],
+                        "ln_bias": ffn_ln["bias"],
+                    },
+                }
+            )
+        return {"layers": layers, "interpret": interpret, "plan": plan}
+
+    def init_fused_decode_state(self, context_kv, col_bias, dec_len: int):
+        """Kernel-D decode state from the pre-projected context K/V:
+        (bundles, per-layer cast ctx (K, V) padded to the plan's chunk
+        multiple, per-layer zeroed slot caches, (nj, bs, chunk) context
+        bias with MASK_VALUE on the pad rows) — or None when the kernels
+        cannot engage.  The kernel streams the context chunk-by-chunk over
+        its second grid dim; padded rows score exp(-1e5 - m) == 0.0 in
+        f32, identical to the XLA path's masked rows.  Everything here is
+        computed ONCE per sequence, outside the scan."""
+        from .masks import MASK_VALUE
+
+        bs, ctx_len = context_kv[0][0].shape[0], context_kv[0][0].shape[1]
+        bundles = self.fused_step_bundles(bs, ctx_len, dec_len)
+        if bundles is None:
+            return None
+        _, chunk = bundles["plan"]
+        nj = -(-ctx_len // chunk)
+        pad = nj * chunk - ctx_len
+        dtype = decode_cache_dtype()
+
+        def pad_ctx(x):
+            x = x.astype(dtype)
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((bs, pad, x.shape[2]), dtype)], axis=1
+                )
+            return x
+
+        ctx_kvs = tuple((pad_ctx(k), pad_ctx(v)) for k, v in context_kv)
+        slots = tuple(
+            tuple(
+                jnp.zeros((bs, dec_len, self.hidden_size), dtype)
+                for _ in range(2)
+            )
+            for _ in self.layers
+        )
+        ctx_bias = jnp.broadcast_to(
+            col_bias[:, 0, 0, :], (bs, ctx_len)
+        ).astype(jnp.float32)
+        if pad:
+            ctx_bias = jnp.concatenate(
+                [ctx_bias, jnp.full((bs, pad), MASK_VALUE, jnp.float32)],
+                axis=1,
+            )
+        ctx_bias = ctx_bias.reshape(bs, nj, chunk).transpose(1, 0, 2)
+        return {
+            "bundles": bundles,
+            "ctx_kvs": ctx_kvs,
+            "slots": slots,
+            "ctx_bias": ctx_bias,
+        }
+
+    def fused_decode_step(self, hidden_states, state, slot_caches, step):
+        """One new token through all layers via the kernel-D pair (fused
+        self-attention over [frozen context | slots] + fused BERT FFN).
+        Exactly the decode_step semantics below at eps 1e-12; equivalence
+        pinned in tests/test_fused_m4c_step.py.  Returns (out (bs, 1, h),
+        new_slot_caches)."""
+        from ...ops.decode_step import fused_bert_self_step, fused_ffn_step
+
+        bundles = state["bundles"]
+        interpret = bundles["interpret"]
+        scale = 1.0 / float(self.hidden_size // self.num_heads) ** 0.5
+        x = hidden_states[:, 0, :]
+        new_slots = []
+        for i in range(len(self.layers)):
+            w = bundles["layers"][i]
+            x, sk, sv = fused_bert_self_step(
+                x, w["self"], state["ctx_kvs"][i],
+                slot_caches[i][0], slot_caches[i][1],
+                step, state["ctx_bias"], scale, self.num_heads, LN_EPS,
+                interpret=interpret,
+            )
+            new_slots.append((sk, sv))
+            f = w["ffn"]
+            x = fused_ffn_step(
+                x, f["w1"], f["b1"], f["w2"], f["b2"],
+                f["ln_scale"], f["ln_bias"],
+                interpret=interpret, eps=LN_EPS,
+            )
+        return x[:, None, :], tuple(new_slots)
 
     def decode_step(
         self,
@@ -400,10 +583,10 @@ class BertEncoderStack(nn.Module):
         for i, layer in enumerate(self.layers):
             k_new, v_new = layer.project_kv(hidden_states)
             k_cache = jax.lax.dynamic_update_slice_in_dim(
-                kv_caches[i][0], k_new, pos, axis=1
+                kv_caches[i][0], k_new.astype(kv_caches[i][0].dtype), pos, axis=1
             )
             v_cache = jax.lax.dynamic_update_slice_in_dim(
-                kv_caches[i][1], v_new, pos, axis=1
+                kv_caches[i][1], v_new.astype(kv_caches[i][1].dtype), pos, axis=1
             )
             new_caches.append((k_cache, v_cache))
             hidden_states = layer.decode_step(

@@ -291,29 +291,42 @@ class M4C(nn.Module):
         ctx_ocr = ctx_out[:, obj_len:obj_len + ocr_len]
         max_iter = self.max_iter
         ctx_len = ctx.shape[1]
-        # per-layer joint [context | dec slots] (K, V) caches in projected
-        # space; decode steps write only the new token's row
-        caches = self.encoder.init_decode_caches(context_kv, max_iter)
-        bias_base = jnp.concatenate(
-            [
-                jnp.broadcast_to(col_bias, (bs,) + col_bias.shape[1:]),
-                jnp.zeros((bs, 1, 1, max_iter), jnp.float32),
-            ],
-            axis=-1,
+        # kernel-D fused path (TPU) over read-only context K/V + slot-only
+        # caches; falls back to the XLA path with per-layer joint
+        # [context | dec slots] (K, V) caches — decode steps write only the
+        # new token's row either way
+        fused_state = self.encoder.init_fused_decode_state(
+            context_kv, col_bias, max_iter
         )
-        joint_positions = jnp.arange(ctx_len + max_iter)[None, None, None, :]
+        if fused_state is not None:
+            init_caches = fused_state["slots"]
+        else:
+            init_caches = self.encoder.init_decode_caches(context_kv, max_iter)
+            bias_base = jnp.concatenate(
+                [
+                    jnp.broadcast_to(col_bias, (bs,) + col_bias.shape[1:]),
+                    jnp.zeros((bs, 1, 1, max_iter), jnp.float32),
+                ],
+                axis=-1,
+            )
+            joint_positions = jnp.arange(ctx_len + max_iter)[None, None, None, :]
 
         def body(mdl, carry, step):
             prev_token, caches = carry
             dec_emb, _ = mdl.dynamic_embedding(
                 prev_token[:, None], ocr_emb, mdl._fixed_rows()
             )
-            bias = jnp.where(
-                joint_positions <= ctx_len + step, bias_base, MASK_VALUE
-            )
-            out, new_caches = mdl.encoder.decode_step(
-                dec_emb, caches, ctx_len + step, bias
-            )
+            if fused_state is not None:
+                out, new_caches = mdl.encoder.fused_decode_step(
+                    dec_emb, fused_state, caches, step
+                )
+            else:
+                bias = jnp.where(
+                    joint_positions <= ctx_len + step, bias_base, MASK_VALUE
+                )
+                out, new_caches = mdl.encoder.decode_step(
+                    dec_emb, caches, ctx_len + step, bias
+                )
             fixed = out @ mdl.vocab_proj_kernel + mdl.vocab_proj_bias
             dynamic = mdl.dynamic_network(out, ctx_ocr, ocr_bias)
             scores = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0]
@@ -328,7 +341,7 @@ class M4C(nn.Module):
             out_axes=0,
         )
         bos = jnp.full((bs,), self.vocab.bos_idx, jnp.int32)
-        (_, _), all_scores = scan(self, (bos, caches), jnp.arange(max_iter))
+        (_, _), all_scores = scan(self, (bos, init_caches), jnp.arange(max_iter))
         scores = jnp.moveaxis(all_scores, 0, 1)  # (bs, T, V+K)
         prev_inds = jnp.concatenate(
             [

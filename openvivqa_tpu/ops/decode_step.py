@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -91,8 +91,11 @@ def decode_kernel_parts() -> frozenset:
 
 def _plan_batch_block(bs: int, fixed_bytes: int, per_row_bytes: int) -> Optional[int]:
     """Largest divisor of bs whose cell (fixed weights + per-row buffers)
-    fits the VMEM budget."""
-    for blk in [bs] + [b for b in (64, 48, 32, 24, 16, 8, 4, 2, 1) if b < bs]:
+    fits the VMEM budget.  Mosaic requires the second-to-last block dim of
+    the (blk, hd) row blocks to be divisible by 8 OR equal to the full
+    array dim, so sub-8 blocks are only legal as blk == bs (BENCH_r04
+    post-mortem: a blk=2 plan crashed lowering at MMF dims)."""
+    for blk in [bs] + [b for b in (64, 48, 32, 24, 16, 8) if b < bs]:
         if bs % blk:
             continue
         if fixed_bytes + blk * per_row_bytes <= _VMEM_BUDGET:
@@ -100,10 +103,10 @@ def _plan_batch_block(bs: int, fixed_bytes: int, per_row_bytes: int) -> Optional
     return None
 
 
-def _layer_norm(x, scale, bias):
+def _layer_norm(x, scale, bias, eps=_LN_EPS):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + _LN_EPS) * scale + bias
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
 
 
 def _dot(a, b):
@@ -552,16 +555,35 @@ def _gelu_exact(x):
     return 0.5 * x * (1.0 + _erf(x * 0.7071067811865476))
 
 
-def _ffn_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref, y_ref):
+def _ffn_kernel(
+    x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, b_ref, y_ref, *, eps
+):
+    # activations cast to the weight dtype before the dot (bf16 weights on
+    # hardware for the 768/3072 BERT FFN — MXU rounds operands to bf16 at
+    # default precision anyway; f32 weights in interpret mode keep the CPU
+    # equivalence tests exact)
     x = x_ref[:]
-    hidden = _dot(x, w1_ref[:]) + b1_ref[0]
+    hidden = (
+        jnp.dot(
+            x.astype(w1_ref.dtype), w1_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + b1_ref[0]
+    )
     hidden = _gelu_exact(hidden)  # erf GELU (torch parity)
-    o = _dot(hidden, w2_ref[:]) + b2_ref[0]
-    y_ref[:] = _layer_norm(x + o, g_ref[0], b_ref[0])
+    o = (
+        jnp.dot(
+            hidden.astype(w2_ref.dtype), w2_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + b2_ref[0]
+    )
+    y_ref[:] = _layer_norm(x + o, g_ref[0], b_ref[0], eps)
 
 
-@functools.partial(jax.jit, static_argnames=("blk", "interpret"))
-def _ffn_call(x, w1, b1, w2, b2, g, b, blk: int, interpret: bool):
+@functools.partial(jax.jit, static_argnames=("blk", "interpret", "eps"))
+def _ffn_call(x, w1, b1, w2, b2, g, b, blk: int, interpret: bool,
+              eps: float = _LN_EPS):
     bs, hd = x.shape
     d_ff = w1.shape[1]
     nb = bs // blk
@@ -573,7 +595,7 @@ def _ffn_call(x, w1, b1, w2, b2, g, b, blk: int, interpret: bool):
         )
 
     return pl.pallas_call(
-        _ffn_kernel,
+        functools.partial(_ffn_kernel, eps=eps),
         grid=(nb,),
         in_specs=[
             row_spec,
@@ -587,20 +609,314 @@ def _ffn_call(x, w1, b1, w2, b2, g, b, blk: int, interpret: bool):
     )(x, w1, b1, w2, b2, g, b)
 
 
-def ffn_step_viable(bs: int, hd: int, d_ff: int) -> Optional[int]:
-    fixed = (2 * hd * d_ff + 2 * d_ff + 4 * hd) * 4
+def ffn_step_viable(
+    bs: int, hd: int, d_ff: int, weight_bytes: int = 4
+) -> Optional[int]:
+    fixed = (2 * hd * d_ff) * weight_bytes + (2 * d_ff + 4 * hd) * 4
     # double-buffered: x, y; single: the (blk, d_ff) hidden stack temp
     per_row = (2 * 2 * hd + 2 * d_ff) * 4
     return _plan_batch_block(bs, fixed, per_row)
 
 
 def fused_ffn_step(x, w1, b1, w2, b2, ln_scale, ln_bias,
-                   interpret: bool = False):
+                   interpret: bool = False, eps: float = _LN_EPS):
     """Dense -> erf-GELU -> Dense -> residual LayerNorm on (bs, hd) rows."""
     bs, hd = x.shape
-    blk = ffn_step_viable(bs, hd, w1.shape[1])
+    wb = 2 if w1.dtype == jnp.bfloat16 else 4
+    blk = ffn_step_viable(bs, hd, w1.shape[1], wb)
     assert blk is not None, "guard with ffn_step_viable"
     return _ffn_call(
         x, w1, b1.reshape(1, -1), w2, b2.reshape(1, -1),
-        ln_scale.reshape(1, -1), ln_bias.reshape(1, -1), blk, interpret,
+        ln_scale.reshape(1, -1), ln_bias.reshape(1, -1), blk, interpret, eps,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel D: BERT-layer decode step (the M4C family's incremental greedy,
+# models/m4c_common.py MMT.decode_step semantics).  Differences from the
+# generative kernels A-C that make this its own kernel:
+#   * the attended stream is [frozen context | decoded slots]: the context
+#     K/V (220 of 232 rows at MMF dims) NEVER changes across steps, so it is
+#     a READ-ONLY input here — the ring-append kernels alias and write back
+#     the whole cache, which at 232-row joint caches would add ~22 MB of
+#     pure write-back HBM traffic per layer per step;
+#   * only the (bs, T, hd) slot caches are aliased in/out (T=12 at MMF
+#     dims), shrinking the scan carry ~20x vs joint caches;
+#   * the column bias is STEP-INVARIANT (context padding bias; slots are
+#     masked in-kernel from t), so there is no carried bias ring;
+#   * post-LN eps is the HF BertLayer 1e-12 (kernels A-C use flax's 1e-6);
+#   * slot caches may be bf16 (modules/bert.decode_cache_dtype) — stores
+#     cast, attention math stays f32;
+#   * the context K/V is STREAMED through VMEM in chunks over a second
+#     grid dim with flash-style running (max, denom, numerator) scratch:
+#     a whole 220-row context per batch row (~1.35 MB/row bf16 before
+#     temps) cannot fit a legal >=8-row batch block in the ~16 MB VMEM,
+#     which is exactly the misfit that kept the first kernel-D cut off
+#     hardware.  Grid iterations on TPU run sequentially per core, so the
+#     scratch accumulates across ctx chunks (same pattern as the streamed
+#     training kernel in ops/fused_attention.py).
+# Replaces ~12 XLA ops per layer per step with ONE pallas_call (+ the FFN
+# kernel above with eps=1e-12: 2 calls per BertLayer step).
+# ---------------------------------------------------------------------------
+def _bert_self_kernel(
+    t_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+    wo_ref, bo_ref, g_ref, b_ref, cbias_ref, ctxk_ref, ctxv_ref,
+    sk_ref, sv_ref, y_ref, sk_out, sv_out,
+    q_scr, acc_scr, m_scr, s_scr,
+    *, scale, h, d, eps, nj,
+):
+    blk, dec_len = sk_ref.shape[0], sk_ref.shape[1]
+    chunk = ctxk_ref.shape[1]
+    hd = h * d
+    j = pl.program_id(1)
+    x = x_ref[:]
+
+    def dot_w(a, w_ref, b_ref_):
+        return (
+            jnp.dot(
+                a.astype(w_ref.dtype), w_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref_[0]
+        )
+
+    # block-diagonal head-selector (see _heads_attend): per-head segment
+    # sums as ONE MXU matmul; its transpose expands (.., h) -> (.., hd)
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (hd, h), 0) // d
+        == jax.lax.broadcasted_iota(jnp.int32, (hd, h), 1)
+    ).astype(jnp.float32)
+
+    def seg_logits(q, k_vals, n):
+        prod = q[:, None, :] * k_vals.astype(jnp.float32)
+        return jax.lax.dot_general(
+            prod.reshape(blk * n, hd), seg,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(blk, n, h)
+
+    def expand_heads(w_part):  # (rows, h) -> (rows, hd)
+        return jax.lax.dot_general(
+            w_part, seg,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == 0)
+    def _init():
+        # clamp like the XLA path's dynamic_update_slice (overruns
+        # overwrite the last slot on both paths)
+        t = jnp.minimum(t_ref[0], dec_len - 1)
+        k_new = dot_w(x, wk_ref, bk_ref).astype(sk_ref.dtype)
+        v_new = dot_w(x, wv_ref, bv_ref).astype(sv_ref.dtype)
+        q = dot_w(x, wq_ref, bq_ref)
+        q_scr[:] = q
+        spos = jax.lax.broadcasted_iota(jnp.int32, (blk, dec_len), 1)
+        spos3 = jax.lax.broadcasted_iota(jnp.int32, (blk, dec_len, 1), 1)
+        at_t = spos3 == t
+        sk_out[:] = jnp.where(at_t, k_new[:, None, :], sk_ref[:])
+        sv_out[:] = jnp.where(at_t, v_new[:, None, :], sv_ref[:])
+        # slots carry zero column bias by construction (m4c_common.MMT
+        # init_decode_caches builds bias_base = [col_bias | zeros]);
+        # future slots are masked exactly like the XLA path's
+        # where(pos <= ctx_len + step, bias_base, MASK_VALUE)
+        slot_bias = jnp.where(spos <= t, 0.0, MASK_VALUE)
+        logits = (
+            seg_logits(q, sk_out[:], dec_len) * scale
+            + slot_bias[:, :, None]
+        )
+        m0 = jnp.max(logits, axis=1)  # (blk, h)
+        p = jnp.exp(logits - m0[:, None, :])
+        s_scr[:] = jnp.sum(p, axis=1)
+        p_full = expand_heads(p.reshape(blk * dec_len, h)).reshape(
+            blk, dec_len, hd
+        )
+        acc_scr[:] = jnp.sum(p_full * sv_out[:].astype(jnp.float32), axis=1)
+        m_scr[:] = m0
+
+    # fold this context chunk into the running softmax.  Padded rows
+    # (ctx_len -> ctx_pad and reference padding alike) carry MASK_VALUE
+    # bias: exp(-1e5 - m) underflows to exactly 0.0 in f32, matching the
+    # XLA path's treatment of masked rows bit-for-bit.
+    q = q_scr[:]
+    logits = (
+        seg_logits(q, ctxk_ref[:], chunk) * scale
+        + cbias_ref[0][:, :, None]
+    )
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=1))
+    alpha = jnp.exp(m_old - m_new)  # (blk, h)
+    p = jnp.exp(logits - m_new[:, None, :])
+    s_scr[:] = s_scr[:] * alpha + jnp.sum(p, axis=1)
+    p_full = expand_heads(p.reshape(blk * chunk, h)).reshape(blk, chunk, hd)
+    acc_scr[:] = (
+        acc_scr[:] * expand_heads(alpha)
+        + jnp.sum(p_full * ctxv_ref[:].astype(jnp.float32), axis=1)
+    )
+    m_scr[:] = m_new
+
+    @pl.when(j == nj - 1)
+    def _fin():
+        out = acc_scr[:] / expand_heads(s_scr[:])
+        o = dot_w(out, wo_ref, bo_ref)
+        y_ref[:] = _layer_norm(x + o, g_ref[0], b_ref[0], eps)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "h", "eps", "blk", "interpret")
+)
+def _bert_self_call(
+    t, x, wq, bq, wk, bk, wv, bv, wo, bo, g, b, cbias, ctx_k, ctx_v,
+    slot_k, slot_v, scale: float, h: int, eps: float, blk: int,
+    interpret: bool,
+):
+    bs, hd = x.shape
+    dec_len = slot_k.shape[1]
+    nj, _, chunk = cbias.shape  # ctx pre-reshaped (nj, bs, chunk)
+    d = hd // h
+    nb = bs // blk
+
+    row_spec = pl.BlockSpec(
+        (blk, hd), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    ctx_spec = pl.BlockSpec(
+        (blk, chunk, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    slot_spec = pl.BlockSpec(
+        (blk, dec_len, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+    )
+    # (nj, bs, chunk) layout keeps the chunk the FULL last dim — a
+    # (blk, chunk) window of a (bs, ctx_pad) row would need chunk % 128
+    cbias_spec = pl.BlockSpec(
+        (1, blk, chunk), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
+
+    def w_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    y, sk2, sv2 = pl.pallas_call(
+        functools.partial(
+            _bert_self_kernel, scale=scale, h=h, d=d, eps=eps, nj=nj
+        ),
+        grid=(nb, nj),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            row_spec,
+            w_spec(wq.shape), w_spec(bq.shape),
+            w_spec(wk.shape), w_spec(bk.shape),
+            w_spec(wv.shape), w_spec(bv.shape),
+            w_spec(wo.shape), w_spec(bo.shape),
+            w_spec(g.shape), w_spec(b.shape),
+            cbias_spec, ctx_spec, ctx_spec,
+            slot_spec, slot_spec,
+        ],
+        out_specs=(row_spec, slot_spec, slot_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((bs, hd), jnp.float32),
+            jax.ShapeDtypeStruct(slot_k.shape, slot_k.dtype),
+            jax.ShapeDtypeStruct(slot_v.shape, slot_v.dtype),
+        ),
+        input_output_aliases={15: 1, 16: 2},
+        scratch_shapes=[
+            pltpu.VMEM((blk, hd), jnp.float32),  # q
+            pltpu.VMEM((blk, hd), jnp.float32),  # numerator
+            pltpu.VMEM((blk, h), jnp.float32),  # running max
+            pltpu.VMEM((blk, h), jnp.float32),  # denominator
+        ],
+        interpret=interpret,
+    )(t, x, wq, bq, wk, bk, wv, bv, wo, bo, g, b, cbias, ctx_k, ctx_v,
+      slot_k, slot_v)
+    return y, sk2, sv2
+
+
+def bert_self_step_plan(
+    bs: int, ctx_len: int, dec_len: int, hd: int,
+    cache_bytes: int = 4, weight_bytes: int = 4,
+) -> Optional[Tuple[int, int]]:
+    """(batch block, ctx chunk) plan for kernel D, or None when no legal
+    cell fits VMEM.  The context is padded to a multiple of the chunk
+    (MASK_VALUE bias rows) by the caller.  Blocks/chunks keep Mosaic's
+    second-to-last-dim rule: divisible by 8 or the full dim.
+    OPENVIVQA_DECODE_CHUNK forces the chunk (A/B + multi-chunk tests)."""
+    forced = os.environ.get("OPENVIVQA_DECODE_CHUNK")
+    if forced:
+        chunks = [int(forced)]
+    else:
+        chunks = [ctx_len] + [c for c in (256, 128, 64, 32, 16, 8)
+                              if c < ctx_len]
+    blks = [bs] + [b for b in (64, 48, 32, 24, 16, 8) if b < bs and bs % b == 0]
+    for blk in blks:
+        for chunk in chunks:
+            if _bert_self_cell_bytes(
+                blk, chunk, dec_len, hd, cache_bytes, weight_bytes
+            ) <= _VMEM_BUDGET:
+                return blk, chunk
+    return None
+
+
+def _bert_self_cell_bytes(
+    blk: int, chunk: int, dec_len: int, hd: int,
+    cache_bytes: int, weight_bytes: int,
+) -> int:
+    return (
+        (4 * hd * hd) * weight_bytes + 6 * hd * 4  # weights (single-buffered)
+        + 2 * 2 * blk * hd * 4  # x, y (double-buffered)
+        + 2 * 2 * blk * chunk * hd * cache_bytes  # ctx k/v chunk
+        + 2 * blk * chunk * 4  # ctx bias chunk
+        + 2 * 4 * blk * dec_len * hd * cache_bytes  # slots in+out
+        + 2 * blk * hd * 4  # q + numerator scratch
+        + 2 * blk * chunk * hd * 4  # f32 prod + p_full temps
+        + 2 * blk * dec_len * hd * 4  # slot-fold temps (j == 0)
+    )
+
+
+def bert_self_step_viable(
+    bs: int, ctx_len: int, dec_len: int, hd: int,
+    cache_bytes: int = 4, weight_bytes: int = 4,
+) -> Optional[int]:
+    plan = bert_self_step_plan(
+        bs, ctx_len, dec_len, hd, cache_bytes, weight_bytes
+    )
+    return None if plan is None else plan[0]
+
+
+def fused_bert_self_step(
+    x, w: dict, ctx_kv, slot_k, slot_v, step, ctx_bias,
+    scale: float, h: int, eps: float, interpret: bool = False,
+):
+    """One M4C decode token's self-attention over [frozen context | slots]:
+    q/k/v projections of the token, slot write at `step`, joint softmax
+    streamed over context chunks, out projection + residual LayerNorm.
+    x (bs, hd); ctx_kv = (k, v) each (bs, ctx_pad, hd) read-only and
+    pre-padded to the plan's chunk multiple; slot_k/v (bs, T, hd) aliased;
+    ctx_bias (nj, bs, chunk) additive with MASK_VALUE on padded rows (see
+    BertEncoderStack.init_fused_decode_state).  Returns (y, new_slot_k,
+    new_slot_v)."""
+    bs, hd = x.shape
+    ctx_k, ctx_v = ctx_kv
+    nj, _, chunk = ctx_bias.shape
+    assert ctx_k.shape[1] == nj * chunk, "pad ctx K/V to the bias layout"
+    cb = 2 if slot_k.dtype == jnp.bfloat16 else 4
+    wb = 2 if w["wq"].dtype == jnp.bfloat16 else 4
+    # the chunk is fixed by the state layout; re-derive only the batch block
+    blk = next(
+        (
+            b
+            for b in [bs] + [c for c in (64, 48, 32, 24, 16, 8)
+                             if c < bs and bs % c == 0]
+            if _bert_self_cell_bytes(b, chunk, slot_k.shape[1], hd, cb, wb)
+            <= _VMEM_BUDGET
+        ),
+        None,
+    )
+    assert blk is not None, "guard with bert_self_step_plan"
+    return _bert_self_call(
+        step.reshape(1).astype(jnp.int32), x,
+        w["wq"], w["bq"].reshape(1, -1), w["wk"], w["bk"].reshape(1, -1),
+        w["wv"], w["bv"].reshape(1, -1), w["wo"], w["bo"].reshape(1, -1),
+        w["ln_scale"].reshape(1, -1), w["ln_bias"].reshape(1, -1),
+        ctx_bias.astype(jnp.float32), ctx_k, ctx_v, slot_k, slot_v,
+        scale, h, eps, blk, interpret,
     )

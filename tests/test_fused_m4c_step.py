@@ -1,0 +1,211 @@
+"""Kernel-D fused M4C decode step (ops/decode_step.fused_bert_self_step +
+fused_ffn_step with BERT eps): interpret-mode equivalence against both the
+XLA incremental path and the quadratic full-re-encode greedy.
+
+The fused path differs from the XLA path only in reduction order (segmented
+block-diagonal head sums) and the in-kernel erf approximation (max abs err
+1.5e-7), so scores must agree to ~1e-4 and greedy tokens exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openvivqa_tpu.builders import populate
+from openvivqa_tpu.config import ConfigNode
+from openvivqa_tpu.models.mmf_m4c import MMF_M4C
+
+populate()
+
+H, HEADS, VOCAB, MAXA = 32, 4, 25, 6
+N_OBJ, N_OCR, QLEN = 4, 3, 5
+
+
+class Vocab:
+    padding_idx, bos_idx, eos_idx, unk_idx = 0, 1, 2, 3
+    max_answer_length = MAXA
+
+    def __len__(self):
+        return VOCAB
+
+
+def _config(**extra):
+    return ConfigNode(
+        {
+            "ARCHITECTURE": "MMF_M4C",
+            "D_MODEL": H,
+            "MMT": {
+                "HIDDEN_SIZE": H,
+                "NUM_HIDDEN_LAYERS": 2,
+                "NUM_ATTENTION_HEADS": HEADS,
+            },
+            "TEXT_BERT": {"HIDDEN_SIZE": H, "NUM_HIDDEN_LAYERS": 1},
+            "OBJECT_EMBEDDING": {"D_FEATURE": 12, "DROPOUT": 0.0},
+            "OCR_EMBEDDING": {"D_FEATURE": 24, "DROPOUT": 0.0},
+            "OCR_PTR_NET": {"HIDDEN_SIZE": H, "QUERY_KEY_SIZE": 16},
+            **extra,
+        }
+    )
+
+
+def _batch(bs=3, seed=13):
+    rng = np.random.default_rng(seed)
+
+    def feats(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    q = rng.integers(4, VOCAB, (bs, QLEN)).astype(np.int32)
+    q[:, -1] = 0
+    return {
+        "question_tokens": jnp.asarray(q),
+        "region_features": feats(bs, N_OBJ, 12),
+        "region_boxes": feats(bs, N_OBJ, 4),
+        "ocr_fasttext_features": feats(bs, N_OCR, 10),
+        "ocr_rec_features": feats(bs, N_OCR, 8),
+        "ocr_det_features": feats(bs, N_OCR, 6),
+        "ocr_boxes": feats(bs, N_OCR, 4),
+        "answer_tokens": jnp.asarray(
+            rng.integers(4, VOCAB + N_OCR, (bs, MAXA)).astype(np.int32)
+        ),
+    }
+
+
+def _params_and_batch():
+    batch = _batch()
+    model = MMF_M4C(_config(CONTEXT_BLIND=True), Vocab())
+    variables = jax.jit(
+        lambda r, b: model.init({"params": r, "dropout": r}, b, train=False)
+    )(jax.random.PRNGKey(3), batch)
+    return variables["params"], batch
+
+
+def test_fused_step_matches_xla_and_quadratic(monkeypatch):
+    params, batch = _params_and_batch()
+    vocab = Vocab()
+    quadratic = MMF_M4C(_config(CONTEXT_BLIND=True), vocab)
+    incremental = MMF_M4C(_config(DECODING_MODE="incremental"), vocab)
+
+    want = quadratic.apply({"params": params}, batch, method="greedy_decode")
+    xla = incremental.apply({"params": params}, batch, method="greedy_decode")
+
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL", "interpret")
+    fused = incremental.apply({"params": params}, batch, method="greedy_decode")
+
+    np.testing.assert_array_equal(
+        np.asarray(fused["prev_inds"]), np.asarray(want["prev_inds"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["scores"]), np.asarray(xla["scores"]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["scores"]), np.asarray(want["scores"]), atol=2e-4
+    )
+
+
+def test_fused_step_multi_chunk_streaming(monkeypatch):
+    """Forcing a chunk smaller than the context length exercises the
+    flash-style running-softmax accumulation across grid steps (nj=2 with
+    a MASK_VALUE-padded tail here) — the path the kernel takes at real
+    MMF dims where the 220-row context cannot fit one VMEM block."""
+    params, batch = _params_and_batch()
+    vocab = Vocab()
+    quadratic = MMF_M4C(_config(CONTEXT_BLIND=True), vocab)
+    incremental = MMF_M4C(_config(DECODING_MODE="incremental"), vocab)
+
+    want = quadratic.apply({"params": params}, batch, method="greedy_decode")
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL", "interpret")
+    monkeypatch.setenv("OPENVIVQA_DECODE_CHUNK", "8")
+    fused = incremental.apply({"params": params}, batch, method="greedy_decode")
+
+    np.testing.assert_array_equal(
+        np.asarray(fused["prev_inds"]), np.asarray(want["prev_inds"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["scores"]), np.asarray(want["scores"]), atol=2e-4
+    )
+
+
+def test_fused_state_engages_in_interpret_mode(monkeypatch):
+    """The dispatch actually routes through kernel D under interpret (a
+    silent fall-through to the XLA path would vacuously pass the test
+    above)."""
+    from openvivqa_tpu.models.modules.bert import BertEncoderStack
+
+    params, batch = _params_and_batch()
+    incremental = MMF_M4C(_config(DECODING_MODE="incremental"), Vocab())
+
+    calls = []
+    orig = BertEncoderStack.fused_decode_step
+
+    def spy(self, *a, **k):
+        calls.append(1)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(BertEncoderStack, "fused_decode_step", spy)
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL", "interpret")
+    incremental.apply({"params": params}, batch, method="greedy_decode")
+    assert calls, "kernel-D path did not engage under interpret mode"
+
+    # and does NOT engage when forced off
+    calls.clear()
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL", "0")
+    incremental.apply({"params": params}, batch, method="greedy_decode")
+    assert not calls
+
+
+def test_fused_step_standalone_m4c(monkeypatch):
+    """The standalone M4C routes through the same kernel-D state; its
+    incremental greedy stays equivalent to its quadratic greedy."""
+    from openvivqa_tpu.builders import META_ARCHITECTURE
+
+    class OcrVocab(Vocab):
+        pass
+
+    cfg = {
+        "ARCHITECTURE": "M4C",
+        "DEVICE": "cpu",
+        "D_MODEL": H,
+        "OBJECT_EMBEDDING": {"D_FEATURE": 12, "DROPOUT": 0.0},
+        "OCR_EMBEDDING": {"D_FEATURE": 24, "DROPOUT": 0.0},
+        "DYNAMIC_EMBEDDING": {
+            "ARCHITECTURE": "FixedVocabDynamicEmbedding",
+            "D_MODEL": H,
+            "DROPOUT": 0.0,
+        },
+        "MMT": {
+            "HIDDEN_SIZE": H,
+            "NUM_HIDDEN_LAYERS": 2,
+            "NUM_ATTENTION_HEADS": HEADS,
+        },
+        "TEXT_BERT": {"HIDDEN_SIZE": H, "NUM_HIDDEN_LAYERS": 1},
+        "ENCODER": {
+            "ARCHITECTURE": "MultiModalEncoder",
+            "D_MODEL": H,
+            "LAYERS": 2,
+            "SELF_ATTENTION": {"D_MODEL": H, "HEAD": HEADS},
+        },
+    }
+    batch = _batch()
+
+    def build(**extra):
+        return META_ARCHITECTURE.get("M4C")(
+            config=ConfigNode({**cfg, **extra}), vocab=OcrVocab()
+        )
+
+    quadratic = build(CONTEXT_BLIND=True)
+    incremental = build(DECODING_MODE="incremental")
+    variables = jax.jit(
+        lambda r, b: quadratic.init({"params": r, "dropout": r}, b, train=False)
+    )(jax.random.PRNGKey(5), batch)
+    params = variables["params"]
+
+    want = quadratic.apply({"params": params}, batch, method="greedy_decode")
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL", "interpret")
+    fused = incremental.apply({"params": params}, batch, method="greedy_decode")
+
+    np.testing.assert_array_equal(
+        np.asarray(fused["prev_inds"]), np.asarray(want["prev_inds"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["scores"]), np.asarray(want["scores"]), atol=2e-4
+    )

@@ -309,3 +309,42 @@ def test_iterative_m4c_incremental_beam_matches_quadratic():
     np.testing.assert_allclose(
         np.asarray(got_lp), np.asarray(want_lp), atol=2e-5
     )
+
+
+def test_decode_cache_dtype_env_and_default(monkeypatch):
+    """decode_cache_dtype(): env override wins; auto is f32 off-TPU (the
+    CPU test mesh) so the bit-exact equivalence tests above stay valid."""
+    from openvivqa_tpu.models.modules.bert import decode_cache_dtype
+
+    monkeypatch.setenv("OPENVIVQA_KV_CACHE_DTYPE", "f32")
+    assert decode_cache_dtype() == jnp.float32
+    monkeypatch.setenv("OPENVIVQA_KV_CACHE_DTYPE", "bf16")
+    assert decode_cache_dtype() == jnp.bfloat16
+    monkeypatch.delenv("OPENVIVQA_KV_CACHE_DTYPE")
+    # conftest pins the test mesh to CPU, where auto must stay f32
+    assert decode_cache_dtype() == jnp.float32
+
+
+def test_incremental_bf16_caches_run_close(monkeypatch):
+    """Forced-bf16 K/V caches (the TPU default, where the attend kernels
+    round operands to bf16 anyway) keep the incremental decode running and
+    numerically in-family on the CPU fallback path.  Exactness on TPU
+    follows from the kernel's own in-VMEM bf16 casts."""
+    vocab = Vocab()
+    incremental = MMF_M4C(_config(DECODING_MODE="incremental"), vocab)
+    batch = _batch()
+    variables = jax.jit(
+        lambda r, b: incremental.init({"params": r, "dropout": r}, b, train=False)
+    )(jax.random.PRNGKey(3), batch)
+    params = variables["params"]
+
+    monkeypatch.setenv("OPENVIVQA_KV_CACHE_DTYPE", "f32")
+    f32 = incremental.apply({"params": params}, batch, method="greedy_decode")
+    monkeypatch.setenv("OPENVIVQA_KV_CACHE_DTYPE", "bf16")
+    bf16 = incremental.apply({"params": params}, batch, method="greedy_decode")
+
+    assert bf16["scores"].dtype == jnp.float32  # outputs stay f32
+    np.testing.assert_allclose(
+        np.asarray(bf16["scores"]), np.asarray(f32["scores"]),
+        atol=0.08, rtol=0.05,
+    )
