@@ -98,8 +98,15 @@ RESULT_KEYS = (
 # Canary budget: jax.devices() + first tiny compile over the tunnel is
 # ~15-40s healthy; round 3's wedged tunnel hung a bare jax.devices() >120s.
 CANARY_BUDGET_S = 90
-# Worker retry ladder.  Worst case = canary + sum(budgets) + sleeps
-# = 90 + (700 + 330 + 120) + 2*10 = 1,260s < the driver's ~1,500s window.
+# One retry after a short sleep: a chip HELD by another process (measured:
+# a concurrent profiling run made the first canary time out) clears in
+# seconds, a genuine wedge does not — don't null the whole artifact on a
+# transient hold.
+CANARY_RETRY_BUDGET_S = 60
+CANARY_RETRY_SLEEP_S = 15
+# Worker retry ladder.  Worst case = canaries + sum(budgets) + sleeps
+# = (90 + 15 + 60) + (700 + 330 + 120) + 2*10 = 1,335s < the driver's
+# ~1,500s window.
 WORKER_BUDGETS = (700, 330, 120)
 RETRY_SLEEP_S = 10
 
@@ -678,6 +685,11 @@ def orchestrate(precompile: bool = False) -> None:
     # jax.devices() hung >120s) is reported honestly in <2 minutes instead
     # of burning the whole ladder inside the driver's kill window.
     ok, info, detail = _run_canary()
+    if not ok:
+        print(f"# canary attempt 1 failed: {detail}; retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(CANARY_RETRY_SLEEP_S)
+        ok, info, detail = _run_canary(CANARY_RETRY_BUDGET_S)
     if info.get("device_kind"):
         partials["device_kind"] = info["device_kind"]
     if not ok:

@@ -178,6 +178,160 @@ class _IterativeM4CBase(MMF_M4C):
         )
         return jnp.concatenate([fixed_scores, dynamic_scores], axis=-1)
 
+    def _init_fused_dec(self, enc, max_iter: int):
+        """Fused decode state for the kernel A/E/FFN triple (one
+        pallas_call per sublayer per step instead of ~30 XLA ops per
+        layer): per-layer cast weight bundles, pre-projected cross K/V
+        padded to the kernel-E chunk plan, (nj, bs, chunk) encoder bias,
+        and zeroed slot caches + bias rings.  None when the kernels cannot
+        engage (off-TPU, VMEM misfit) — callers fall back to the XLA
+        path.  Computed ONCE per sequence, outside the decode scan."""
+        from ..ops.decode_step import (
+            cross_step_plan,
+            decode_kernel_mode,
+            decode_kernel_parts,
+            ffn_step_viable,
+            self_attention_step_viable,
+        )
+
+        mode = decode_kernel_mode()
+        hd, heads = self.hidden_size, self.num_heads
+        if (
+            mode == "off"
+            or "layer" not in decode_kernel_parts()
+            or hd % heads
+        ):
+            return None
+        bs = enc["encoded"].shape[0]
+        enc_len = enc["encoded"].shape[1]
+        interpret = mode == "interpret"
+        wb = 4 if interpret else 2
+        cache_dtype = decode_cache_dtype()
+        cb = 2 if cache_dtype == jnp.bfloat16 else 4
+        params_of = lambda m: m.variables["params"]  # noqa: E731
+        d_ff = params_of(self.decoder_layers[0].Dense_0)["kernel"].shape[1]
+        plan = cross_step_plan(bs, enc_len, hd, cb, wb)
+        if (
+            plan is None
+            or self_attention_step_viable(bs, max_iter, hd, cb, wb) is None
+            or ffn_step_viable(bs, hd, d_ff, wb) is None
+        ):
+            return None
+        _, chunk = plan
+        nj = -(-enc_len // chunk)
+        pad = nj * chunk - enc_len
+        cast = (lambda w: w) if interpret else (lambda w: w.astype(jnp.bfloat16))
+
+        def sa_bundle(sa):
+            ln = params_of(sa.LayerNorm_0)
+            return {
+                "wq": cast(params_of(sa.Dense_0)["kernel"]),
+                "bq": params_of(sa.Dense_0)["bias"],
+                "wk": cast(params_of(sa.Dense_1)["kernel"]),
+                "bk": params_of(sa.Dense_1)["bias"],
+                "wv": cast(params_of(sa.Dense_2)["kernel"]),
+                "bv": params_of(sa.Dense_2)["bias"],
+                "wo": cast(params_of(sa.Dense_3)["kernel"]),
+                "bo": params_of(sa.Dense_3)["bias"],
+                "ln_scale": ln["scale"],
+                "ln_bias": ln["bias"],
+            }
+
+        def pad_enc(x):
+            x = x.astype(cache_dtype)
+            if pad:
+                x = jnp.concatenate(
+                    [x, jnp.zeros((bs, pad, x.shape[2]), cache_dtype)], axis=1
+                )
+            return x
+
+        layers, enc_kvs = [], []
+        for i, layer in enumerate(self.decoder_layers):
+            ffn_ln = params_of(layer.LayerNorm_0)
+            layers.append(
+                {
+                    "self": sa_bundle(layer.BertSelfAttention_0),
+                    "cross": sa_bundle(layer.BertSelfAttention_1),
+                    "ffn": {
+                        "w1": cast(params_of(layer.Dense_0)["kernel"]),
+                        "b1": params_of(layer.Dense_0)["bias"],
+                        "w2": cast(params_of(layer.Dense_1)["kernel"]),
+                        "b2": params_of(layer.Dense_1)["bias"],
+                        "ln_scale": ffn_ln["scale"],
+                        "ln_bias": ffn_ln["bias"],
+                    },
+                }
+            )
+            k, v = layer.project_cross_kv(
+                enc["all_states"][i] if self.multilevel else enc["encoded"]
+            )
+            enc_kvs.append((pad_enc(k), pad_enc(v)))
+
+        enc_bias = jnp.broadcast_to(
+            enc["enc_bias"][:, 0, 0, :], (bs, enc_len)
+        ).astype(jnp.float32)
+        if pad:
+            enc_bias = jnp.concatenate(
+                [enc_bias, jnp.full((bs, pad), MASK_VALUE, jnp.float32)],
+                axis=1,
+            )
+        enc_bias = enc_bias.reshape(bs, nj, chunk).transpose(1, 0, 2)
+        slots = tuple(
+            (
+                jnp.zeros((bs, max_iter, hd), cache_dtype),
+                jnp.zeros((bs, max_iter, hd), cache_dtype),
+                jnp.zeros((bs, max_iter), jnp.float32),  # bias ring
+            )
+            for _ in range(self.dec_layers)
+        )
+        return {
+            "layers": layers,
+            "interpret": interpret,
+            "enc_kvs": tuple(enc_kvs),
+            "enc_bias": enc_bias,
+            "slots": slots,
+        }
+
+    def _fused_dec_step(self, fused, dec, caches, step):
+        """One token through all decoder layers via kernels A (self over
+        the slot ring) + E (cross over frozen encoder chunks) + the fused
+        FFN, all at the HF BertLayer eps 1e-12.  Exactly the XLA
+        decode_step semantics; equivalence pinned in
+        tests/test_fused_iterative_step.py."""
+        from ..ops.decode_step import (
+            fused_cross_attention_streamed,
+            fused_ffn_step,
+            fused_self_attention_step,
+        )
+
+        interpret = fused["interpret"]
+        scale = 1.0 / float(self.hidden_size // self.num_heads) ** 0.5
+        x = dec[:, 0, :]
+        bs = x.shape[0]
+        zeros = jnp.zeros((bs,), jnp.float32)
+        new_caches = []
+        for i in range(self.dec_layers):
+            w = fused["layers"][i]
+            s = w["self"]
+            x, ck, cv, cbias = fused_self_attention_step(
+                x, s["wq"], s["bq"], s["wk"], s["bk"], s["wv"], s["bv"],
+                s["wo"], s["bo"], s["ln_scale"], s["ln_bias"],
+                zeros, step, caches[i][0], caches[i][1], caches[i][2],
+                scale, self.num_heads, interpret=interpret, eps=LN_EPS,
+            )
+            new_caches.append((ck, cv, cbias))
+            x = fused_cross_attention_streamed(
+                x, w["cross"], fused["enc_kvs"][i], fused["enc_bias"],
+                scale, self.num_heads, LN_EPS, interpret=interpret,
+            )
+            f = w["ffn"]
+            x = fused_ffn_step(
+                x, f["w1"], f["b1"], f["w2"], f["b2"],
+                f["ln_scale"], f["ln_bias"],
+                interpret=interpret, eps=LN_EPS,
+            )
+        return x[:, None, :], tuple(new_caches)
+
     def incremental_greedy_decode(self, batch):
         """KV-cached greedy: the joint encoder never sees decoder tokens in
         this topology, so this is exactly the quadratic greedy (no mask
@@ -186,28 +340,35 @@ class _IterativeM4CBase(MMF_M4C):
         enc = self._encode_joint(batch, False)
         ctx_ocr = enc["encoded"][:, enc["ocr_begin"]:enc["ocr_end"]]
         max_iter = self.max_iter
+        # kernel A/E/FFN fused path (TPU); falls back to the XLA path with
         # per-layer (K, V) self-attention caches in PROJECTED space, plus
         # the cross-attention K/V of the (step-invariant) encoder states
         # projected ONCE instead of at every decode step.  Both stored in
         # decode_cache_dtype() (bf16 on TPU — the attend paths round K/V
         # operands to bf16 anyway; see modules/bert.decode_cache_dtype)
         cache_dtype = decode_cache_dtype()
-        caches = tuple(
-            tuple(
-                jnp.zeros((bs, max_iter, self.hidden_size), cache_dtype)
-                for _ in range(2)
-            )
-            for _ in range(self.dec_layers)
-        )
-        cross_kvs = tuple(
-            tuple(
-                x.astype(cache_dtype)
-                for x in layer.project_cross_kv(
-                    enc["all_states"][i] if self.multilevel else enc["encoded"]
+        fused = self._init_fused_dec(enc, max_iter)
+        if fused is not None:
+            caches = fused["slots"]
+        else:
+            caches = tuple(
+                tuple(
+                    jnp.zeros((bs, max_iter, self.hidden_size), cache_dtype)
+                    for _ in range(2)
                 )
+                for _ in range(self.dec_layers)
             )
-            for i, layer in enumerate(self.decoder_layers)
-        )
+            cross_kvs = tuple(
+                tuple(
+                    x.astype(cache_dtype)
+                    for x in layer.project_cross_kv(
+                        enc["all_states"][i]
+                        if self.multilevel
+                        else enc["encoded"]
+                    )
+                )
+                for i, layer in enumerate(self.decoder_layers)
+            )
         fixed_ans_emb = self._fixed_ans_emb()
         dec_table = self.dec_embeddings.build_table(fixed_ans_emb, enc["ocr_emb"])
         ans_num = fixed_ans_emb.shape[0]
@@ -217,27 +378,33 @@ class _IterativeM4CBase(MMF_M4C):
             dec = mdl.dec_embeddings.embed_from_table(
                 dec_table, ans_num, prev_token[:, None], position_offset=step,
             )
-            positions = jnp.arange(max_iter)
-            step_bias = jnp.broadcast_to(
-                jnp.where(positions <= step, 0.0, MASK_VALUE)[
-                    None, None, None, :
-                ],
-                (bs, 1, 1, max_iter),
-            )
-            new_caches = []
-            for i, layer in enumerate(mdl.decoder_layers):
-                k_new, v_new = layer.project_kv(dec)
-                k_cache = jax.lax.dynamic_update_slice_in_dim(
-                    caches[i][0], k_new.astype(caches[i][0].dtype), step, axis=1
+            if fused is not None:
+                dec, new_caches = mdl._fused_dec_step(fused, dec, caches, step)
+                new_caches = list(new_caches)
+            else:
+                positions = jnp.arange(max_iter)
+                step_bias = jnp.broadcast_to(
+                    jnp.where(positions <= step, 0.0, MASK_VALUE)[
+                        None, None, None, :
+                    ],
+                    (bs, 1, 1, max_iter),
                 )
-                v_cache = jax.lax.dynamic_update_slice_in_dim(
-                    caches[i][1], v_new.astype(caches[i][1].dtype), step, axis=1
-                )
-                new_caches.append((k_cache, v_cache))
-                dec = layer.decode_step(
-                    dec, k_cache, v_cache, step_bias,
-                    cross_kv=cross_kvs[i], encoder_bias=enc["enc_bias"],
-                )
+                new_caches = []
+                for i, layer in enumerate(mdl.decoder_layers):
+                    k_new, v_new = layer.project_kv(dec)
+                    k_cache = jax.lax.dynamic_update_slice_in_dim(
+                        caches[i][0], k_new.astype(caches[i][0].dtype),
+                        step, axis=1,
+                    )
+                    v_cache = jax.lax.dynamic_update_slice_in_dim(
+                        caches[i][1], v_new.astype(caches[i][1].dtype),
+                        step, axis=1,
+                    )
+                    new_caches.append((k_cache, v_cache))
+                    dec = layer.decode_step(
+                        dec, k_cache, v_cache, step_bias,
+                        cross_kv=cross_kvs[i], encoder_bias=enc["enc_bias"],
+                    )
             fixed = mdl.classifier(dec)
             dynamic = mdl.ocr_ptr_net(dec, ctx_ocr, enc["ocr_bias"])
             scores = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0]

@@ -158,7 +158,7 @@ def _self_attn_kernel(
     t_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
     wo_ref, bo_ref, g_ref, b_ref, sb_ref, ck_ref, cv_ref, cb_ref,
     y_ref, ck_out, cv_out, cb_out, attn_scratch,
-    *, scale, h, d,
+    *, scale, h, d, eps=_LN_EPS,
 ):
     # clamp like the XLA path's dynamic_update_slice: a t >= max_len
     # overrun overwrites the last slot on BOTH paths instead of silently
@@ -166,9 +166,18 @@ def _self_attn_kernel(
     t = jnp.minimum(t_ref[0], ck_ref.shape[1] - 1)
     x = x_ref[:]
 
-    k_new = _dot(x, wk_ref[:]) + bk_ref[0]
-    v_new = _dot(x, wv_ref[:]) + bv_ref[0]
-    q = _dot(x, wq_ref[:]) + bq_ref[0]
+    def dot_w(a, w_ref, b_ref_):
+        return (
+            jnp.dot(
+                a.astype(w_ref.dtype), w_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref_[0]
+        )
+
+    k_new = dot_w(x, wk_ref, bk_ref).astype(ck_ref.dtype)
+    v_new = dot_w(x, wv_ref, bv_ref).astype(cv_ref.dtype)
+    q = dot_w(x, wq_ref, bq_ref)
 
     # ring-append as position-mask selects: Mosaic restricts dynamic-offset
     # vector stores to 128-aligned lanes, and a full-array select over these
@@ -184,18 +193,21 @@ def _self_attn_kernel(
 
     bias_row = cb_out[:] + jnp.where(pos > t, MASK_VALUE, 0.0)
 
-    _heads_attend(q, ck_out[:], cv_out[:], bias_row, scale, h, d, attn_scratch)
+    _heads_attend(
+        q, ck_out[:].astype(jnp.float32), cv_out[:].astype(jnp.float32),
+        bias_row, scale, h, d, attn_scratch,
+    )
 
-    o = _dot(attn_scratch[:], wo_ref[:]) + bo_ref[0]
-    y_ref[:] = _layer_norm(x + o, g_ref[0], b_ref[0])
+    o = dot_w(attn_scratch[:], wo_ref, bo_ref)
+    y_ref[:] = _layer_norm(x + o, g_ref[0], b_ref[0], eps)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "h", "blk", "interpret")
+    jax.jit, static_argnames=("scale", "h", "blk", "interpret", "eps")
 )
 def _self_attn_call(
     t, x, wq, bq, wk, bk, wv, bv, wo, bo, g, b, sb, ck, cv, cb,
-    scale: float, h: int, blk: int, interpret: bool,
+    scale: float, h: int, blk: int, interpret: bool, eps: float = _LN_EPS,
 ):
     bs, hd = x.shape
     max_len = ck.shape[1]
@@ -216,7 +228,7 @@ def _self_attn_call(
         )
 
     y, ck2, cv2, cb2 = pl.pallas_call(
-        functools.partial(_self_attn_kernel, scale=scale, h=h, d=d),
+        functools.partial(_self_attn_kernel, scale=scale, h=h, d=d, eps=eps),
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -243,24 +255,35 @@ def _self_attn_call(
     return y, ck2, cv2, cb2
 
 
-def self_attention_step_viable(bs: int, max_len: int, hd: int) -> Optional[int]:
-    fixed = (4 * hd * hd + 6 * hd) * 4
+def self_attention_step_viable(
+    bs: int, max_len: int, hd: int,
+    cache_bytes: int = 4, weight_bytes: int = 4,
+) -> Optional[int]:
+    fixed = (4 * hd * hd) * weight_bytes + 6 * hd * 4
     # double-buffered: x, y, cache k/v in+out, cache bias in+out, step bias;
     # single: attn scratch
-    per_row = (2 * (2 * hd + 4 * max_len * hd + 2 * max_len + 1) + hd) * 4
+    per_row = (
+        2 * (2 * hd * 4 + 4 * max_len * hd * cache_bytes + 2 * max_len * 4 + 4)
+        + hd * 4
+        + 2 * max_len * hd * 4  # f32 q*k product + w_full temps
+    )
     return _plan_batch_block(bs, fixed, per_row)
 
 
 def fused_self_attention_step(
     x, wq, bq, wk, bk, wv, bv, wo, bo, ln_scale, ln_bias,
     step_bias, t, cache_k, cache_v, cache_bias, scale: float, h: int,
-    interpret: bool = False,
+    interpret: bool = False, eps: float = _LN_EPS,
 ):
     """One stateful decode step.  x (bs, hd); caches (bs, T, hd)/(bs, T);
     step_bias (bs,); t scalar int32.  Returns (y_post_ln, new_k, new_v,
-    new_bias)."""
+    new_bias).  Caches may be bf16 (stores cast; attention math stays
+    f32); eps selects the post-LN epsilon (flax 1e-6 default, 1e-12 for
+    the HF BertLayer family)."""
     bs, hd = x.shape
-    blk = self_attention_step_viable(bs, cache_k.shape[1], hd)
+    cbytes = 2 if cache_k.dtype == jnp.bfloat16 else 4
+    wbytes = 2 if wq.dtype == jnp.bfloat16 else 4
+    blk = self_attention_step_viable(bs, cache_k.shape[1], hd, cbytes, wbytes)
     assert blk is not None, "guard with self_attention_step_viable"
     return _self_attn_call(
         t.reshape(1).astype(jnp.int32), x,
@@ -269,7 +292,7 @@ def fused_self_attention_step(
         ln_scale.reshape(1, -1), ln_bias.reshape(1, -1),
         step_bias.reshape(-1, 1).astype(cache_bias.dtype),
         cache_k, cache_v, cache_bias,
-        scale, h, blk, interpret,
+        scale, h, blk, interpret, eps,
     )
 
 
@@ -918,5 +941,208 @@ def fused_bert_self_step(
         w["wv"], w["bv"].reshape(1, -1), w["wo"], w["bo"].reshape(1, -1),
         w["ln_scale"].reshape(1, -1), w["ln_bias"].reshape(1, -1),
         ctx_bias.astype(jnp.float32), ctx_k, ctx_v, slot_k, slot_v,
+        scale, h, eps, blk, interpret,
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel E: frozen-KV cross-attention decode step (the Iterative M4C
+# family's per-layer cross-attention over the pre-projected encoder
+# states, models/mmf_variants.py incremental_greedy_decode).  Kernel D
+# minus the slot machinery: the attended stream never changes across
+# steps, so it is a read-only input streamed chunk-by-chunk over the
+# second grid dim with flash-style running (max, denom, numerator)
+# scratch — the same VMEM-misfit fix (a 220-row encoder K/V per batch
+# row cannot legally fit one VMEM block at 768 wide).  One pallas_call
+# replaces the ~8 XLA ops of BertSelfAttention.decode_step.
+# ---------------------------------------------------------------------------
+def _streamed_cross_kernel(
+    x_ref, wq_ref, bq_ref, wo_ref, bo_ref, g_ref, b_ref,
+    ebias_ref, ek_ref, ev_ref, y_ref,
+    q_scr, acc_scr, m_scr, s_scr,
+    *, scale, h, d, eps, nj,
+):
+    blk = x_ref.shape[0]
+    chunk = ek_ref.shape[1]
+    hd = h * d
+    j = pl.program_id(1)
+    x = x_ref[:]
+
+    def dot_w(a, w_ref, b_ref_):
+        return (
+            jnp.dot(
+                a.astype(w_ref.dtype), w_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + b_ref_[0]
+        )
+
+    seg = (
+        jax.lax.broadcasted_iota(jnp.int32, (hd, h), 0) // d
+        == jax.lax.broadcasted_iota(jnp.int32, (hd, h), 1)
+    ).astype(jnp.float32)
+
+    def expand_heads(w_part):
+        return jax.lax.dot_general(
+            w_part, seg,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(j == 0)
+    def _init():
+        q_scr[:] = dot_w(x, wq_ref, bq_ref)
+        # -1e30 (finite) start: an all-masked first chunk contributes
+        # weights that a later real logit rescales to exactly 0.0
+        # (exp(MASK_VALUE - real_max) underflows in f32) — same masked-row
+        # semantics as the XLA softmax
+        m_scr[:] = jnp.full((blk, h), -1e30, jnp.float32)
+        s_scr[:] = jnp.zeros((blk, h), jnp.float32)
+        acc_scr[:] = jnp.zeros((blk, hd), jnp.float32)
+
+    q = q_scr[:]
+    prod = q[:, None, :] * ek_ref[:].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        prod.reshape(blk * chunk, hd), seg,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(blk, chunk, h)
+    logits = logits * scale + ebias_ref[0][:, :, None]
+    m_old = m_scr[:]
+    m_new = jnp.maximum(m_old, jnp.max(logits, axis=1))
+    alpha = jnp.exp(m_old - m_new)
+    p = jnp.exp(logits - m_new[:, None, :])
+    s_scr[:] = s_scr[:] * alpha + jnp.sum(p, axis=1)
+    p_full = expand_heads(p.reshape(blk * chunk, h)).reshape(blk, chunk, hd)
+    acc_scr[:] = (
+        acc_scr[:] * expand_heads(alpha)
+        + jnp.sum(p_full * ev_ref[:].astype(jnp.float32), axis=1)
+    )
+    m_scr[:] = m_new
+
+    @pl.when(j == nj - 1)
+    def _fin():
+        out = acc_scr[:] / expand_heads(s_scr[:])
+        o = dot_w(out, wo_ref, bo_ref)
+        y_ref[:] = _layer_norm(x + o, g_ref[0], b_ref[0], eps)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "h", "eps", "blk", "interpret")
+)
+def _streamed_cross_call(
+    x, wq, bq, wo, bo, g, b, ebias, enc_k, enc_v,
+    scale: float, h: int, eps: float, blk: int, interpret: bool,
+):
+    bs, hd = x.shape
+    nj, _, chunk = ebias.shape  # enc bias pre-reshaped (nj, bs, chunk)
+    d = hd // h
+    nb = bs // blk
+
+    row_spec = pl.BlockSpec(
+        (blk, hd), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+    )
+    enc_spec = pl.BlockSpec(
+        (blk, chunk, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+    )
+    ebias_spec = pl.BlockSpec(
+        (1, blk, chunk), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+    )
+
+    def w_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, j: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        functools.partial(
+            _streamed_cross_kernel, scale=scale, h=h, d=d, eps=eps, nj=nj
+        ),
+        grid=(nb, nj),
+        in_specs=[
+            row_spec,
+            w_spec(wq.shape), w_spec(bq.shape),
+            w_spec(wo.shape), w_spec(bo.shape),
+            w_spec(g.shape), w_spec(b.shape),
+            ebias_spec, enc_spec, enc_spec,
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((bs, hd), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((blk, hd), jnp.float32),  # q
+            pltpu.VMEM((blk, hd), jnp.float32),  # numerator
+            pltpu.VMEM((blk, h), jnp.float32),  # running max
+            pltpu.VMEM((blk, h), jnp.float32),  # denominator
+        ],
+        interpret=interpret,
+    )(x, wq, bq, wo, bo, g, b, ebias, enc_k, enc_v)
+
+
+def _cross_cell_bytes(
+    blk: int, chunk: int, hd: int, cache_bytes: int, weight_bytes: int
+) -> int:
+    return (
+        (2 * hd * hd) * weight_bytes + 4 * hd * 4  # wq, wo + bias/ln rows
+        + 2 * 2 * blk * hd * 4  # x, y (double-buffered)
+        + 2 * 2 * blk * chunk * hd * cache_bytes  # enc k/v chunk
+        + 2 * blk * chunk * 4  # enc bias chunk
+        + 2 * blk * hd * 4  # q + numerator scratch
+        + 2 * blk * chunk * hd * 4  # f32 prod + p_full temps
+    )
+
+
+def cross_step_plan(
+    bs: int, enc_len: int, hd: int,
+    cache_bytes: int = 4, weight_bytes: int = 4,
+) -> Optional[Tuple[int, int]]:
+    """(batch block, enc chunk) plan for kernel E, or None.  Same legality
+    rules as bert_self_step_plan; OPENVIVQA_DECODE_CHUNK forces the
+    chunk."""
+    forced = os.environ.get("OPENVIVQA_DECODE_CHUNK")
+    if forced:
+        chunks = [int(forced)]
+    else:
+        chunks = [enc_len] + [c for c in (256, 128, 64, 32, 16, 8)
+                              if c < enc_len]
+    blks = [bs] + [b for b in (64, 48, 32, 24, 16, 8) if b < bs and bs % b == 0]
+    for blk in blks:
+        for chunk in chunks:
+            if _cross_cell_bytes(
+                blk, chunk, hd, cache_bytes, weight_bytes
+            ) <= _VMEM_BUDGET:
+                return blk, chunk
+    return None
+
+
+def fused_cross_attention_streamed(
+    x, w: dict, enc_kv, enc_bias, scale: float, h: int, eps: float,
+    interpret: bool = False,
+):
+    """One decode token's cross-attention over frozen pre-projected
+    encoder K/V: q projection, softmax streamed over encoder chunks, out
+    projection + residual LayerNorm.  x (bs, hd); enc_kv = (k, v) each
+    (bs, S_pad, hd) read-only, pre-padded to the plan's chunk multiple;
+    enc_bias (nj, bs, chunk) additive with MASK_VALUE on padded rows.
+    Returns y (bs, hd)."""
+    bs, hd = x.shape
+    enc_k, enc_v = enc_kv
+    nj, _, chunk = enc_bias.shape
+    assert enc_k.shape[1] == nj * chunk, "pad enc K/V to the bias layout"
+    cb = 2 if enc_k.dtype == jnp.bfloat16 else 4
+    wb = 2 if w["wq"].dtype == jnp.bfloat16 else 4
+    blk = next(
+        (
+            b
+            for b in [bs] + [c for c in (64, 48, 32, 24, 16, 8)
+                             if c < bs and bs % c == 0]
+            if _cross_cell_bytes(b, chunk, hd, cb, wb) <= _VMEM_BUDGET
+        ),
+        None,
+    )
+    assert blk is not None, "guard with cross_step_plan"
+    return _streamed_cross_call(
+        x, w["wq"], w["bq"].reshape(1, -1), w["wo"], w["bo"].reshape(1, -1),
+        w["ln_scale"].reshape(1, -1), w["ln_bias"].reshape(1, -1),
+        enc_bias.astype(jnp.float32), enc_k, enc_v,
         scale, h, eps, blk, interpret,
     )

@@ -18,9 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from openvivqa_tpu.builders import populate
+from openvivqa_tpu.builders import META_ARCHITECTURE, populate
 from openvivqa_tpu.config import ConfigNode
-from openvivqa_tpu.models.mmf_m4c import MMF_M4C
 
 H, HEADS, LAYERS = 768, 8, 4
 VOCAB = 5000
@@ -115,13 +114,20 @@ def main():
     ap.add_argument("--t", type=int, default=12)
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--skip-quadratic", action="store_true")
+    ap.add_argument(
+        "--arch",
+        default="MMF_M4C",
+        help="any registered M4C-family architecture (e.g. "
+        "MMF_IterativeM4C, MMF_Iterative_Multilevel_M4C)",
+    )
     args = ap.parse_args()
 
     populate()
+    build = META_ARCHITECTURE.get(args.arch)
     vocab = _Vocab(args.t)
     batch = _batch(args.bs, args.t)
 
-    inc = MMF_M4C(_config(DECODING_MODE="incremental"), vocab)
+    inc = build(config=_config(DECODING_MODE="incremental"), vocab=vocab)
     variables = jax.jit(
         lambda r, b: inc.init({"params": r, "dropout": r}, b, train=False)
     )(jax.random.PRNGKey(0), batch)
@@ -136,7 +142,15 @@ def main():
     )
 
     if not args.skip_quadratic:
-        quad = MMF_M4C(_config(CONTEXT_BLIND=True), vocab)
+        # for MMF_M4C the comparable quadratic needs CONTEXT_BLIND (the
+        # masking regime incremental implies); the Iterative family's
+        # default config IS that regime already
+        quad_cfg = (
+            _config(CONTEXT_BLIND=True)
+            if args.arch == "MMF_M4C"
+            else _config()
+        )
+        quad = build(config=quad_cfg, vocab=vocab)
         per_batch = _time_decode(quad, params, batch, args.chain)
         results["quadratic"] = args.bs / per_batch
         print(

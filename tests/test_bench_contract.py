@@ -65,10 +65,12 @@ def test_retry_ladder_fits_driver_window():
     # driver's ~1500s kill window before the final JSON line printed.
     worst_case = (
         bench.CANARY_BUDGET_S
+        + bench.CANARY_RETRY_SLEEP_S
+        + bench.CANARY_RETRY_BUDGET_S
         + sum(bench.WORKER_BUDGETS)
         + bench.RETRY_SLEEP_S * (len(bench.WORKER_BUDGETS) - 1)
     )
-    assert worst_case <= 1350, worst_case
+    assert worst_case <= 1400, worst_case
 
 
 def test_every_vs_baseline_metric_maps_to_an_anchor():

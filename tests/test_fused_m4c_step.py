@@ -10,6 +10,7 @@ block-diagonal head sums) and the in-kernel erf approximation (max abs err
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from openvivqa_tpu.builders import populate
 from openvivqa_tpu.config import ConfigNode
@@ -151,6 +152,47 @@ def test_fused_state_engages_in_interpret_mode(monkeypatch):
     monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL", "0")
     incremental.apply({"params": params}, batch, method="greedy_decode")
     assert not calls
+
+
+@pytest.mark.parametrize(
+    "arch", ["MMF_IterativeM4C", "MMF_Iterative_Multilevel_M4C"]
+)
+def test_fused_iterative_step(arch, monkeypatch):
+    """The Iterative M4C family's fused decode (kernel A self-attn over the
+    slot ring + kernel E cross-attn streamed over encoder chunks + fused
+    FFN, all at BertLayer eps) matches both its XLA incremental path and
+    the quadratic greedy.  Chunk forced below the encoder length so the
+    kernel-E flash accumulation across grid steps is exercised."""
+    from openvivqa_tpu.builders import META_ARCHITECTURE
+
+    vocab = Vocab()
+    build = META_ARCHITECTURE.get(arch)
+    quadratic = build(config=_config(), vocab=vocab)
+    incremental = build(
+        config=_config(DECODING_MODE="incremental"), vocab=vocab
+    )
+    batch = _batch()
+    variables = jax.jit(
+        lambda r, b: quadratic.init({"params": r, "dropout": r}, b, train=False)
+    )(jax.random.PRNGKey(7), batch)
+    params = variables["params"]
+
+    want = quadratic.apply({"params": params}, batch, method="greedy_decode")
+    xla = incremental.apply({"params": params}, batch, method="greedy_decode")
+
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL", "interpret")
+    monkeypatch.setenv("OPENVIVQA_DECODE_CHUNK", "8")
+    fused = incremental.apply({"params": params}, batch, method="greedy_decode")
+
+    np.testing.assert_array_equal(
+        np.asarray(fused["prev_inds"]), np.asarray(want["prev_inds"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["scores"]), np.asarray(xla["scores"]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused["scores"]), np.asarray(want["scores"]), atol=2e-4
+    )
 
 
 def test_fused_step_standalone_m4c(monkeypatch):
