@@ -5,6 +5,7 @@ tests/test_fused_m4c_step.py; this checks the Mosaic-compiled kernel on
 the real chip, where both paths round matmul operands to bf16).
 
 Usage: python scripts/check_decode_kernel_tpu.py [--bs 16]
+       [--arch MMF_IterativeM4C]   # kernel A+E fused path instead
 """
 
 from __future__ import annotations
@@ -17,7 +18,7 @@ import sys
 import numpy as np
 
 
-def _run_child(kernel: str, out_path: str, bs: int) -> None:
+def _run_child(kernel: str, out_path: str, bs: int, arch: str) -> None:
     env = dict(os.environ)
     env["OPENVIVQA_DECODE_KERNEL"] = kernel
     here = os.path.dirname(os.path.abspath(__file__))
@@ -27,11 +28,11 @@ def _run_child(kernel: str, out_path: str, bs: int) -> None:
         f"sys.path.insert(0, {os.path.dirname(here)!r})\n"
         "import numpy as np, jax\n"
         "from bench_m4c_decode import _config, _batch, _Vocab\n"
-        "from openvivqa_tpu.builders import populate\n"
-        "from openvivqa_tpu.models.mmf_m4c import MMF_M4C\n"
+        "from openvivqa_tpu.builders import populate, META_ARCHITECTURE\n"
         "populate()\n"
         f"batch = _batch({bs}, 12)\n"
-        "model = MMF_M4C(_config(DECODING_MODE='incremental'), _Vocab(12))\n"
+        f"model = META_ARCHITECTURE.get({arch!r})("
+        "config=_config(DECODING_MODE='incremental'), vocab=_Vocab(12))\n"
         "v = jax.jit(lambda r, b: model.init({'params': r, 'dropout': r},"
         " b, train=False))(jax.random.PRNGKey(0), batch)\n"
         "out = jax.jit(lambda p, b: model.apply({'params': p}, b,"
@@ -50,10 +51,11 @@ def _run_child(kernel: str, out_path: str, bs: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--bs", type=int, default=16)
+    ap.add_argument("--arch", default="MMF_M4C")
     args = ap.parse_args()
 
-    _run_child("1", "/tmp/kd_on.npz", args.bs)
-    _run_child("0", "/tmp/kd_off.npz", args.bs)
+    _run_child("1", "/tmp/kd_on.npz", args.bs, args.arch)
+    _run_child("0", "/tmp/kd_off.npz", args.bs, args.arch)
     on = np.load("/tmp/kd_on.npz")
     off = np.load("/tmp/kd_off.npz")
 
