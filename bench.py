@@ -17,6 +17,10 @@ plus honest-performance extras (VERDICT r1 item 5):
   mmf_greedy_samples_per_sec / vs_baseline_mmf_greedy — MMF_M4C greedy
     decode (incremental projected-KV path) vs the reference's max_iter
     full-re-encode loop on torch CPU at the same dims;
+  iterative_greedy_samples_per_sec / vs_baseline_iterative_greedy —
+    MMF_IterativeM4C greedy decode (the kernel-E fused cross-attention
+    step, VERDICT r4 item 5) vs the reference's max_iter decoder-re-run
+    loop on torch CPU at the same dims;
   mmt_train_samples_per_sec / vs_baseline_mmt_train — 4-layer 768-wide
     MMT-dims train step with attention dropout 0.1 (exercises the Pallas
     dropout-attention pair) vs the reference MMT's HF BertEncoder class
@@ -25,21 +29,27 @@ plus honest-performance extras (VERDICT r1 item 5):
     the chip's bf16 peak (TPU matmuls at default precision execute as
     bf16 passes, CLAUDE.md measured facts).
 
-Fault tolerance (VERDICT r2 item 1, hardened per VERDICT r3 item 1 after
-two consecutive rc=124 artifacts):
-  * A ~90s CANARY subprocess runs FIRST (jax.devices() + one 1-element add
-    + host fetch).  A wedged tunnel — round 3's failure mode, where a bare
-    jax.devices() hangs >120s — is reported as an honest
-    "tpu_unreachable" final JSON in under two minutes instead of burning
-    the whole retry ladder.
-  * The measurement runs in a worker subprocess (fresh process == fresh
-    TPU client).  The worker streams each metric as a "#PARTIAL {json}"
-    line the moment it is measured; the orchestrator persists partials to
-    a scratch file so a RETRY attempt skips already-measured sections.
-  * The retry ladder's worst-case total (canary + budgets + sleeps) is
-    ~1,260s — safely inside the driver's ~1,500s kill window, so the
-    guaranteed final JSON line always gets out (round 3's rc=124 was the
-    old 1500+900 ladder overrunning the window).
+Fault tolerance (VERDICT r2 item 1; rebuilt per VERDICT r4 item 1 after
+THREE consecutive null driver artifacts — the r4 post-mortem measured the
+tunnel wedge clearing in 96s while the old 2-attempt canary gave up at
+~165s with ~1,335s of the driver's window unspent):
+  * The whole run is budgeted against ONE wall-clock deadline
+    (TOTAL_WINDOW_S, set under the driver's ~1,500s kill window).
+  * A ~90s CANARY subprocess (jax.devices() + one 1-element add + host
+    fetch) runs in a PERSISTENCE LOOP: keep probing with short sleeps
+    until it passes or until only MIN_WORKER_RESERVE_S of the window
+    remains (a warm full bench takes ~4.5 min; the wedge is
+    intermittent/held-chip-shaped and has been measured clearing after
+    the old policy had already given up).
+  * On canary pass, the measurement worker runs in a RETRY LADDER SIZED
+    TO THE REMAINING WINDOW (fresh subprocess == fresh TPU client): each
+    attempt gets ~60% of what is left, so a late canary pass still gets
+    one real attempt and an early pass gets three.
+  * The worker streams each metric as a "#PARTIAL {json}" line the
+    moment it is measured; the orchestrator persists partials to a
+    scratch file so a retry attempt skips already-measured sections, and
+    sections are ordered primary-metric-first so a killed attempt still
+    lands the headline numbers.
   * The final line is ALWAYS one parseable JSON object; unmeasured
     metrics are null, never 0.0 (a measured zero and "no measurement"
     must not be conflated).
@@ -87,6 +97,8 @@ RESULT_KEYS = (
     "vs_baseline_beam",
     "mmf_greedy_samples_per_sec",
     "vs_baseline_mmf_greedy",
+    "iterative_greedy_samples_per_sec",
+    "vs_baseline_iterative_greedy",
     "mmt_train_samples_per_sec",
     "vs_baseline_mmt_train",
     "mmt_train_mfu",
@@ -96,18 +108,23 @@ RESULT_KEYS = (
 )
 
 # Canary budget: jax.devices() + first tiny compile over the tunnel is
-# ~15-40s healthy; round 3's wedged tunnel hung a bare jax.devices() >120s.
+# ~15-40s healthy; a wedged tunnel hangs a bare jax.devices() >120s.
 CANARY_BUDGET_S = 90
-# One retry after a short sleep: a chip HELD by another process (measured:
-# a concurrent profiling run made the first canary time out) clears in
-# seconds, a genuine wedge does not — don't null the whole artifact on a
-# transient hold.
-CANARY_RETRY_BUDGET_S = 60
-CANARY_RETRY_SLEEP_S = 15
-# Worker retry ladder.  Worst case = canaries + sum(budgets) + sleeps
-# = (90 + 15 + 60) + (700 + 330 + 120) + 2*10 = 1,335s < the driver's
-# ~1,500s window.
-WORKER_BUDGETS = (700, 330, 120)
+CANARY_RETRY_SLEEP_S = 10
+# One wall-clock budget for the WHOLE run, kept under the driver's ~1,500s
+# kill window.  Everything — canary persistence, worker attempts, sleeps —
+# is scheduled against the single deadline so no phase can strand the rest
+# of the window (VERDICT r4 item 1: the old fixed 2-attempt canary exited
+# at ~165s leaving ~1,335s unused while the wedge cleared at ~111s).
+TOTAL_WINDOW_S = 1380
+# Keep probing the canary until only this much window remains: a warm full
+# bench completes in ~270-330s, so a canary that first passes even ~1,000s
+# in can still land the primary metrics.
+MIN_WORKER_RESERVE_S = 360
+# Floor for a useful worker attempt (enough for device init + the primary
+# eval section warm) and reserve for emitting the final JSON line.
+MIN_ATTEMPT_S = 75
+EMIT_RESERVE_S = 15
 RETRY_SLEEP_S = 10
 
 
@@ -173,6 +190,110 @@ def _mcan_model():
     )
     vocab = BenchVocab()
     return MCAN(config, vocab), vocab
+
+
+def _m4c_bench_case(arch: str):
+    """Build an M4C-family model + batch at the bench_m4c_decode.py dims
+    (768h / 4L MMT / 3L TextBert, bs 32, obj 100 + ocr 100 + q 20, vocab
+    5000, max_iter 12) — shared by the MMF_M4C and MMF_IterativeM4C greedy
+    sections.  Reference loops: /root/reference/models/mmf_m4c.py:236-256
+    (full re-encode per token) and mmf_iterative_m4c.py:253-270 (decoder
+    re-run per token)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from openvivqa_tpu.builders import META_ARCHITECTURE
+    from openvivqa_tpu.config import ConfigNode
+
+    m4c_h, m4c_vocab_n = 768, 5000
+    m4c_bs, m4c_t = 32, 12
+
+    class M4CVocab:
+        padding_idx, bos_idx, eos_idx, unk_idx = 0, 1, 2, 3
+        max_answer_length = m4c_t
+
+        def __len__(self):
+            return m4c_vocab_n
+
+    cfg = ConfigNode(
+        {
+            "ARCHITECTURE": arch,
+            "D_MODEL": m4c_h,
+            "DECODING_MODE": "incremental",
+            "MMT": {
+                "HIDDEN_SIZE": m4c_h, "NUM_HIDDEN_LAYERS": 4,
+                "NUM_ATTENTION_HEADS": 8,
+            },
+            "TEXT_BERT": {"HIDDEN_SIZE": m4c_h, "NUM_HIDDEN_LAYERS": 3},
+            "OBJECT_EMBEDDING": {"D_FEATURE": 1024, "DROPOUT": 0.1},
+            "OCR_EMBEDDING": {"D_FEATURE": 812, "DROPOUT": 0.1},
+            "OCR_PTR_NET": {"HIDDEN_SIZE": m4c_h, "QUERY_KEY_SIZE": 768},
+        }
+    )
+    model = META_ARCHITECTURE.get(arch)(cfg, M4CVocab())
+    rng = np.random.default_rng(7)
+
+    def _f(*shape):
+        return jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    q = rng.integers(4, m4c_vocab_n, (m4c_bs, 20)).astype(np.int32)
+    q[:, -4:] = 0
+    batch = {
+        "question_tokens": jnp.asarray(q),
+        "region_features": _f(m4c_bs, 100, 1024),
+        "region_boxes": _f(m4c_bs, 100, 4),
+        "ocr_fasttext_features": _f(m4c_bs, 100, 300),
+        "ocr_rec_features": _f(m4c_bs, 100, 256),
+        "ocr_det_features": _f(m4c_bs, 100, 256),
+        "ocr_boxes": _f(m4c_bs, 100, 4),
+        "answer_tokens": jnp.asarray(
+            rng.integers(4, m4c_vocab_n + 100, (m4c_bs, m4c_t))
+            .astype(np.int32)
+        ),
+    }
+    variables = jax.jit(
+        lambda r, b: model.init({"params": r, "dropout": r}, b, train=False)
+    )(jax.random.PRNGKey(0), batch)
+    return model, variables["params"], batch, m4c_bs
+
+
+def _greedy_chain_sps(model, params, batch, bs, chain, precompile, label):
+    """Time `chain` dependent greedy decodes inside one jitted program
+    (tunnel rules, CLAUDE.md).  Returns samples/sec, or None in precompile
+    mode (after compiling into the cache)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain_fn(params, batch):
+        def body(carry, _):
+            b = dict(batch)
+            # feed previous tokens back through the features so XLA
+            # cannot dedupe chain iterations (tunnel rules, CLAUDE.md)
+            b["region_features"] = batch["region_features"] + (
+                carry[:, :1, None].astype(jnp.float32) * 1e-6
+            )
+            out = model.apply({"params": params}, b, method="greedy_decode")
+            return out["prev_inds"][:, -1:], None
+
+        final, _ = jax.lax.scan(
+            body, jnp.zeros((bs, 1), jnp.int32), None, length=chain
+        )
+        return final
+
+    compiled = chain_fn.lower(params, batch).compile()
+    if precompile:
+        print(f"# precompiled {label} chain", flush=True)
+        return None
+    np.asarray(compiled(params, batch))  # warmup
+    start = time.perf_counter()
+    np.asarray(compiled(params, batch))
+    elapsed = time.perf_counter() - start
+    return bs * chain / elapsed
 
 
 def canary() -> None:
@@ -528,93 +649,14 @@ def worker() -> None:
     try:
         if measured("mmf_greedy_samples_per_sec"):
             raise _Skip
-        from openvivqa_tpu.models.mmf_m4c import MMF_M4C
-
-        from openvivqa_tpu.config import ConfigNode
-
-        m4c_h, m4c_vocab_n = 768, 5000
-        m4c_bs, m4c_t, m4c_chain = 32, 12, 8
-
-        class M4CVocab:
-            padding_idx, bos_idx, eos_idx, unk_idx = 0, 1, 2, 3
-            max_answer_length = m4c_t
-
-            def __len__(self):
-                return m4c_vocab_n
-
-        m4c_cfg = ConfigNode(
-            {
-                "ARCHITECTURE": "MMF_M4C",
-                "D_MODEL": m4c_h,
-                "DECODING_MODE": "incremental",
-                "MMT": {
-                    "HIDDEN_SIZE": m4c_h, "NUM_HIDDEN_LAYERS": 4,
-                    "NUM_ATTENTION_HEADS": 8,
-                },
-                "TEXT_BERT": {"HIDDEN_SIZE": m4c_h, "NUM_HIDDEN_LAYERS": 3},
-                "OBJECT_EMBEDDING": {"D_FEATURE": 1024, "DROPOUT": 0.1},
-                "OCR_EMBEDDING": {"D_FEATURE": 812, "DROPOUT": 0.1},
-                "OCR_PTR_NET": {"HIDDEN_SIZE": m4c_h, "QUERY_KEY_SIZE": 768},
-            }
+        m4c, m4c_params, m4c_batch, m4c_bs = _m4c_bench_case("MMF_M4C")
+        # chain 32, not 8: the ~24 ms fixed dispatch+fetch cost (CLAUDE.md)
+        # inflated chain-8 per-batch times by ~3 ms on a ~9 ms batch —
+        # measured 2,558 samples/s at chain 8 vs 3,507 at chain 64
+        m4c_sps = _greedy_chain_sps(
+            m4c, m4c_params, m4c_batch, m4c_bs, 32, precompile, "mmf greedy"
         )
-        m4c = MMF_M4C(m4c_cfg, M4CVocab())
-        m4c_rng = np.random.default_rng(7)
-
-        def _f(*shape):
-            return jnp.asarray(m4c_rng.normal(size=shape).astype(np.float32))
-
-        m4c_q = m4c_rng.integers(4, m4c_vocab_n, (m4c_bs, 20)).astype(np.int32)
-        m4c_q[:, -4:] = 0
-        m4c_batch = {
-            "question_tokens": jnp.asarray(m4c_q),
-            "region_features": _f(m4c_bs, 100, 1024),
-            "region_boxes": _f(m4c_bs, 100, 4),
-            "ocr_fasttext_features": _f(m4c_bs, 100, 300),
-            "ocr_rec_features": _f(m4c_bs, 100, 256),
-            "ocr_det_features": _f(m4c_bs, 100, 256),
-            "ocr_boxes": _f(m4c_bs, 100, 4),
-            "answer_tokens": jnp.asarray(
-                m4c_rng.integers(4, m4c_vocab_n + 100, (m4c_bs, m4c_t))
-                .astype(np.int32)
-            ),
-        }
-        m4c_vars = jax.jit(
-            lambda r, b: m4c.init({"params": r, "dropout": r}, b, train=False)
-        )(jax.random.PRNGKey(0), m4c_batch)
-
-        @jax.jit
-        def m4c_chain_fn(params, batch):
-            def body(carry, _):
-                b = dict(batch)
-                # feed previous tokens back through the features so XLA
-                # cannot dedupe chain iterations (tunnel rules, CLAUDE.md)
-                b["region_features"] = batch["region_features"] + (
-                    carry[:, :1, None].astype(jnp.float32) * 1e-6
-                )
-                out = m4c.apply(
-                    {"params": params}, b, method="greedy_decode"
-                )
-                return out["prev_inds"][:, -1:], None
-
-            final, _ = jax.lax.scan(
-                body,
-                jnp.zeros((m4c_bs, 1), jnp.int32),
-                None,
-                length=m4c_chain,
-            )
-            return final
-
-        m4c_compiled = m4c_chain_fn.lower(
-            m4c_vars["params"], m4c_batch
-        ).compile()
-        if precompile:
-            print("# precompiled mmf greedy chain", flush=True)
-        else:
-            np.asarray(m4c_compiled(m4c_vars["params"], m4c_batch))  # warmup
-            start = time.perf_counter()
-            np.asarray(m4c_compiled(m4c_vars["params"], m4c_batch))
-            m4c_elapsed = time.perf_counter() - start
-            m4c_sps = m4c_bs * m4c_chain / m4c_elapsed
+        if m4c_sps is not None:
             vs_mmf = (
                 m4c_sps / anchor["mmf_greedy_samples_per_sec"]
                 if anchor.get("mmf_greedy_samples_per_sec")
@@ -628,6 +670,38 @@ def worker() -> None:
         pass
     except Exception as exc:  # noqa: BLE001 — best-effort extra
         print(f"# mmf greedy bench skipped: {exc}", flush=True)
+
+    # ---- MMF_IterativeM4C greedy decode (kernel-E fused cross-attn path) --
+    # Reference counterpart: mmf_iterative_m4c.py:253-270 — max_iter full
+    # decoder re-runs per batch (and NameError-broken as checked out: it
+    # uses TextBert/_get_mask without importing them).  Driver visibility
+    # for the kernel-E win per VERDICT r4 item 5.
+    try:
+        if measured("iterative_greedy_samples_per_sec"):
+            raise _Skip
+        it_model, it_params, it_batch, it_bs = _m4c_bench_case(
+            "MMF_IterativeM4C"
+        )
+        it_sps = _greedy_chain_sps(
+            it_model, it_params, it_batch, it_bs, 32, precompile,
+            "iterative greedy",
+        )
+        if it_sps is not None:
+            vs_it = (
+                it_sps / anchor["iterative_greedy_samples_per_sec"]
+                if anchor.get("iterative_greedy_samples_per_sec")
+                else None
+            )
+            _emit_partial(
+                iterative_greedy_samples_per_sec=round(it_sps, 2),
+                vs_baseline_iterative_greedy=(
+                    round(vs_it, 2) if vs_it else None
+                ),
+            )
+    except _Skip:
+        pass
+    except Exception as exc:  # noqa: BLE001 — best-effort extra
+        print(f"# iterative greedy bench skipped: {exc}", flush=True)
 
     print("#WORKER_DONE", flush=True)
 
@@ -680,19 +754,36 @@ def _run_canary(budget: float = CANARY_BUDGET_S) -> tuple[bool, dict, str]:
 def orchestrate(precompile: bool = False) -> None:
     """Run the worker with retries; always print one parseable JSON line."""
     partials: dict = {}
+    start = time.monotonic()
+    deadline = start + TOTAL_WINDOW_S
 
-    # 1) Fast reachability canary — a wedged tunnel (round 3: bare
-    # jax.devices() hung >120s) is reported honestly in <2 minutes instead
-    # of burning the whole ladder inside the driver's kill window.
-    ok, info, detail = _run_canary()
-    if not ok:
-        print(f"# canary attempt 1 failed: {detail}; retrying",
-              file=sys.stderr, flush=True)
+    # 1) Reachability canary in a PERSISTENCE LOOP (VERDICT r4 item 1): the
+    # wedge is intermittent/held-chip-shaped — measured clearing 96s after
+    # a >150s hang — so keep probing until it passes or so little window
+    # remains that a worker could not finish anyway.
+    ok, info, detail, attempt = False, {}, "never probed", 0
+    while True:
+        attempt += 1
+        remaining = deadline - time.monotonic()
+        budget = min(CANARY_BUDGET_S, remaining - EMIT_RESERVE_S)
+        if budget < 10:
+            break
+        ok, info, detail = _run_canary(budget)
+        if ok:
+            break
+        elapsed = time.monotonic() - start
+        print(
+            f"# canary attempt {attempt} failed at t={elapsed:.0f}s:"
+            f" {detail}",
+            file=sys.stderr, flush=True,
+        )
+        if deadline - time.monotonic() <= MIN_WORKER_RESERVE_S:
+            break
         time.sleep(CANARY_RETRY_SLEEP_S)
-        ok, info, detail = _run_canary(CANARY_RETRY_BUDGET_S)
     if info.get("device_kind"):
         partials["device_kind"] = info["device_kind"]
     if not ok:
+        detail = f"{detail} ({attempt} canary attempts)"
         print(f"# canary failed: {detail}", file=sys.stderr, flush=True)
         if precompile:
             print(json.dumps({"precompile": "failed",
@@ -700,6 +791,11 @@ def orchestrate(precompile: bool = False) -> None:
             sys.exit(1)
         print(_final_json(partials, f"tpu_unreachable: {detail}"))
         sys.exit(0)
+    print(
+        f"# canary passed on attempt {attempt} at"
+        f" t={time.monotonic() - start:.0f}s",
+        file=sys.stderr, flush=True,
+    )
 
     # Scratch file lets a retry attempt skip already-measured sections.
     partials_fd, partials_path = tempfile.mkstemp(
@@ -718,9 +814,26 @@ def orchestrate(precompile: bool = False) -> None:
         except Exception:  # noqa: BLE001
             pass
 
+    # 2) Worker retry ladder SIZED TO THE REMAINING WINDOW: each attempt
+    # gets ~60% of what is left (min one full attempt even after a late
+    # canary pass), so an early pass yields ~3 attempts and a late pass
+    # still gets one real one.  Partials stream out, so even a killed
+    # attempt contributes its already-measured sections.
     error = None
-    budgets = (3600,) if precompile else WORKER_BUDGETS
-    for attempt, budget in enumerate(budgets):
+    attempt = 0
+    while True:
+        remaining = deadline - time.monotonic() - EMIT_RESERVE_S
+        if precompile:
+            budget = 3600.0
+        elif attempt == 0:
+            budget = max(MIN_ATTEMPT_S, remaining * 0.6)
+        elif remaining < MIN_ATTEMPT_S:
+            break
+        elif remaining > 4 * MIN_ATTEMPT_S:
+            budget = remaining * 0.6
+        else:
+            budget = remaining  # last chance: spend everything left
+        attempt += 1
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--worker"],
             stdout=subprocess.PIPE,
@@ -728,7 +841,7 @@ def orchestrate(precompile: bool = False) -> None:
             text=True,
             env=env,
         )
-        deadline = time.monotonic() + budget
+        attempt_deadline = time.monotonic() + budget
         tail: list[str] = []
         done = False
         # stdout is drained on a thread: a worker that wedges inside a TPU
@@ -764,11 +877,11 @@ def orchestrate(precompile: bool = False) -> None:
 
         try:
             while True:
-                remaining = deadline - time.monotonic()
+                remaining = attempt_deadline - time.monotonic()
                 if remaining <= 0:
                     proc.kill()
                     proc.wait()
-                    error = f"attempt {attempt + 1}: timeout after {budget}s"
+                    error = f"attempt {attempt}: timeout after {budget:.0f}s"
                     break
                 try:
                     raw = lines.get(timeout=min(remaining, 1.0))
@@ -780,7 +893,7 @@ def orchestrate(precompile: bool = False) -> None:
                         error = None
                     else:
                         detail = "; ".join(tail[-3:]) or f"rc={rc}"
-                        error = f"attempt {attempt + 1}: {detail}"
+                        error = f"attempt {attempt}: {detail}"
                     break
                 _consume(raw)
         finally:
@@ -797,11 +910,15 @@ def orchestrate(precompile: bool = False) -> None:
                     break
                 if raw is not None:
                     _consume(raw)
-        if error is None:
+        if error is None or precompile:
             break
-        if attempt + 1 < len(budgets):
+        if deadline - time.monotonic() - EMIT_RESERVE_S > (
+            MIN_ATTEMPT_S + RETRY_SLEEP_S
+        ):
             print(f"# bench {error}; retrying", file=sys.stderr, flush=True)
             time.sleep(RETRY_SLEEP_S)
+        else:
+            break
     try:
         os.unlink(partials_path)
     except OSError:

@@ -209,6 +209,136 @@ def measure_mmf_greedy(CfgNode) -> dict:
     }
 
 
+def iterative_config(CfgNode):
+    """MMF_IterativeM4C at the scripts/bench_m4c_decode.py dims (768h,
+    4-layer encoder + 4-layer decoder, 3-layer TextBert)."""
+    return CfgNode(
+        {
+            "ARCHITECTURE": "MMF_IterativeM4C",
+            "NAME": "iterative_baseline",
+            "DEVICE": "cpu",
+            "D_MODEL": 768,
+            "TEXT_BERT": {
+                "HIDDEN_SIZE": 768, "NUM_HIDDEN_LAYERS": 3,
+                "NUM_ATTENTION_HEADS": 8,
+            },
+            "OBJECT_EMBEDDING": {
+                "D_FEATURE": 1024, "D_MODEL": 768, "DROPOUT": 0.1,
+            },
+            "OCR_EMBEDDING": {
+                "D_FEATURE": 812, "D_MODEL": 768, "DROPOUT": 0.1,
+            },
+            "ENCODER": {
+                "D_MODEL": 768, "HEAD": 8, "LAYERS": 4, "DROPOUT": 0.1,
+            },
+            "DECODER": {
+                "D_MODEL": 768, "HEAD": 8, "LAYERS": 4, "DROPOUT": 0.1,
+            },
+            "OCR_PTR_NET": {"HIDDEN_SIZE": 768, "QUERY_KEY_SIZE": 768},
+        }
+    )
+
+
+def measure_iterative_greedy(CfgNode) -> dict:
+    """Time the reference's MMF_IterativeM4C greedy decode: eval-mode
+    forward runs max_iter FULL decoder re-runs (one 12-token causal +
+    cross-attention decoder pass per emitted token,
+    mmf_iterative_m4c.py:253-270).
+
+    The reference file is NameError-broken as checked out — it uses
+    TextBert, _get_mask and _get_causal_mask without importing or defining
+    them (mmf_iterative_m4c.py:36,117,219) — so the matching versions from
+    experimental_mmf_m4c (whose TextBert extends the binary (bs, seq)
+    _get_mask convention this file uses; mmf_m4c's TextBert expects the
+    other, pre-extended convention) are patched into the module namespace
+    before building.
+    """
+    import torch
+
+    torch.manual_seed(0)
+    import models.mmf_iterative_m4c as it_mod
+    from models.experimental_mmf_m4c import (
+        OcrPtrNet,
+        TextBert,
+        _get_causal_mask,
+        _get_mask,
+    )
+
+    it_mod.TextBert = TextBert
+    it_mod._get_mask = _get_mask
+    it_mod._get_causal_mask = _get_causal_mask
+    # the file imports mmf_m4c.OcrPtrNet, which squeezes a pre-extended
+    # (bs,1,1,S) additive mask — but this model hands it the binary
+    # (bs,S) _get_mask convention; experimental_mmf_m4c's OcrPtrNet is
+    # the matching one
+    it_mod.OcrPtrNet = OcrPtrNet
+
+    # the iterative model wraps standalone BertEncoder(config) instances
+    # (mmf_iterative_m4c.py:86,98) which miss PreTrainedModel's attention
+    # dispatch setup on modern transformers — same fix as measure_mmt_train
+    from transformers.models.bert.modeling_bert import BertConfig
+
+    class _EagerBertConfig(BertConfig):
+        def __init__(self, *args, **kwargs):
+            super().__init__(*args, **kwargs)
+            self._attn_implementation = "eager"
+
+    it_mod.BertConfig = _EagerBertConfig
+
+    from builders.model_builder import META_ARCHITECTURE
+    from utils.instance import InstanceList
+
+    bs, n_obj, n_ocr, qlen, max_a = 32, 100, 100, 20, 12
+    vocab = TinyVocab(n_tokens=5000, max_q=qlen, max_a=max_a)
+    model = META_ARCHITECTURE.get("MMF_IterativeM4C")(
+        iterative_config(CfgNode), vocab
+    )
+    model = model.to("cpu").eval()
+
+    rng = np.random.default_rng(7)
+
+    def feats(*shape):
+        return torch.tensor(rng.normal(size=shape).astype(np.float32))
+
+    q = rng.integers(4, len(vocab), (bs, qlen)).astype(np.int64)
+    q[:, -4:] = 0  # padding tail, same as the JAX bench batch
+    items = InstanceList()
+    items.question_tokens = torch.tensor(q)
+    items.region_features = feats(bs, n_obj, 1024)
+    items.region_boxes = feats(bs, n_obj, 4)
+    items.ocr_fasttext_features = feats(bs, n_ocr, 300)
+    items.ocr_rec_features = feats(bs, n_ocr, 256)
+    items.ocr_det_features = feats(bs, n_ocr, 256)
+    items.ocr_boxes = feats(bs, n_ocr, 4)
+
+    with torch.no_grad():
+        # warm the thread pools with one training-mode forward (1 decoder
+        # pass instead of max_iter) before timing the real greedy loop
+        model.train()
+        items.answer_tokens = torch.tensor(
+            rng.integers(4, len(vocab), (bs, max_a)).astype(np.int64)
+        )
+        model(items)
+        model.eval()
+
+        n_iters = 2
+        start = time.perf_counter()
+        for _ in range(n_iters):
+            model(items)
+        elapsed = time.perf_counter() - start
+
+    sps = bs * n_iters / elapsed
+    return {
+        "iterative_greedy_samples_per_sec": sps,
+        "iterative_greedy_dims": (
+            "MMF_IterativeM4C 768h/4L enc + 4L dec + 3L TextBert, bs 32, "
+            "obj 100 + ocr 100 + q 20, vocab 5000, max_iter 12 "
+            "(bench_m4c_decode.py dims; TextBert/_get_mask patched in — "
+            "the reference file is NameError-broken as checked out)"
+        ),
+    }
+
+
 def measure_mmt_train() -> dict:
     """Adam train step on the exact encoder class the reference's MMT wraps
     (HF BertEncoder — /root/reference/models/mmf_m4c.py:263,287) at the
@@ -333,7 +463,9 @@ def measure_mcan(CfgNode) -> dict:
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "--only", choices=("mcan", "mmf_greedy", "mmt_train"), default=None,
+        "--only",
+        choices=("mcan", "mmf_greedy", "iterative_greedy", "mmt_train"),
+        default=None,
         help="measure a single anchor (default: all)",
     )
     args = parser.parse_args()
@@ -352,6 +484,8 @@ def main():
         result.update(measure_mcan(CfgNode))
     if args.only in (None, "mmf_greedy"):
         result.update(measure_mmf_greedy(CfgNode))
+    if args.only in (None, "iterative_greedy"):
+        result.update(measure_iterative_greedy(CfgNode))
     if args.only in (None, "mmt_train"):
         result.update(measure_mmt_train())
 

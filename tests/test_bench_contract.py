@@ -28,6 +28,7 @@ ANCHOR_OF = {
     "vs_baseline_train": "mcan_train_samples_per_sec",
     "vs_baseline_beam": "iterative_mcan_beam_eval_samples_per_sec",
     "vs_baseline_mmf_greedy": "mmf_greedy_samples_per_sec",
+    "vs_baseline_iterative_greedy": "iterative_greedy_samples_per_sec",
     "vs_baseline_mmt_train": "mmt_train_samples_per_sec",
 }
 
@@ -60,17 +61,22 @@ def test_unmeasured_value_is_null_not_zero():
     assert out["error"].startswith("tpu_unreachable")
 
 
-def test_retry_ladder_fits_driver_window():
-    # BENCH_r03 was rc=124: the old 1500+900+420 ladder overran the
-    # driver's ~1500s kill window before the final JSON line printed.
+def test_deadline_budget_fits_driver_window():
+    # BENCH_r03 was rc=124 (ladder overran the ~1500s kill window);
+    # BENCH_r04 was the opposite failure (canary gave up with ~1,335s of
+    # window unspent).  The r5 design budgets everything against ONE
+    # deadline; the worst overshoot past it is a guaranteed first worker
+    # attempt (MIN_ATTEMPT_S after a last-moment canary pass) plus the
+    # emit reserve.
     worst_case = (
-        bench.CANARY_BUDGET_S
-        + bench.CANARY_RETRY_SLEEP_S
-        + bench.CANARY_RETRY_BUDGET_S
-        + sum(bench.WORKER_BUDGETS)
-        + bench.RETRY_SLEEP_S * (len(bench.WORKER_BUDGETS) - 1)
+        bench.TOTAL_WINDOW_S + bench.MIN_ATTEMPT_S + bench.EMIT_RESERVE_S
     )
-    assert worst_case <= 1400, worst_case
+    assert worst_case <= 1480, worst_case
+    # the canary persistence loop must leave room for a useful worker run
+    assert bench.MIN_WORKER_RESERVE_S >= 2 * bench.MIN_ATTEMPT_S
+    # and must be allowed to spend MOST of the window probing (the r4
+    # post-mortem failure: giving up after ~165s)
+    assert bench.TOTAL_WINDOW_S - bench.MIN_WORKER_RESERVE_S >= 900
 
 
 def test_every_vs_baseline_metric_maps_to_an_anchor():
