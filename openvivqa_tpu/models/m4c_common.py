@@ -74,12 +74,43 @@ class FeatureBoxEncoding(nn.Module):
 
 class OcrPtrNet(nn.Module):
     """Pointer scores QK^T/sqrt(d) + additive OCR mask
-    (mmf_m4c.py:367-396)."""
+    (mmf_m4c.py:367-396).
+
+    setup-style with legacy attribute names (Dense_0 query, Dense_1 key)
+    matching the original nn.compact auto-naming so checkpoints and the
+    torch converters stay byte-compatible.  project_keys/score exist so
+    incremental decoders can hoist the step-invariant OCR key projection
+    OUT of the decode scan (XLA does not hoist scan invariants —
+    CLAUDE.md measured facts; re-projecting the (bs, 100, 768) keys every
+    step was pure waste)."""
 
     hidden_size: int
     query_key_size: Optional[int] = None
 
-    @nn.compact
+    def setup(self):
+        qk = self.query_key_size or self.hidden_size
+        self.Dense_0 = nn.Dense(qk, kernel_init=_normal)  # query
+        self.Dense_1 = nn.Dense(qk, kernel_init=_normal)  # key
+
+    def project_keys(self, key_inputs: jnp.ndarray) -> jnp.ndarray:
+        """Step-invariant (bs, K, qk) key projections — compute once per
+        sequence, not once per decode step."""
+        return self.Dense_1(key_inputs)
+
+    def score(
+        self,
+        query_inputs: jnp.ndarray,
+        keys: jnp.ndarray,
+        attention_bias: jnp.ndarray,
+    ) -> jnp.ndarray:
+        qk = self.query_key_size or self.hidden_size
+        q = self.Dense_0(query_inputs)  # (bs, L_dec, qk)
+        scores = jnp.einsum(
+            "bqd,bkd->bqk", q, keys, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(float(qk))
+        # attention_bias: (bs, 1, 1, K) additive
+        return scores + attention_bias[:, 0]
+
     def __call__(
         self,
         query_inputs: jnp.ndarray,
@@ -87,14 +118,9 @@ class OcrPtrNet(nn.Module):
         attention_bias: jnp.ndarray,
         train: bool = False,
     ) -> jnp.ndarray:
-        qk = self.query_key_size or self.hidden_size
-        q = nn.Dense(qk, kernel_init=_normal)(query_inputs)  # (bs, L_dec, qk)
-        k = nn.Dense(qk, kernel_init=_normal)(key_inputs)  # (bs, K, qk)
-        scores = jnp.einsum(
-            "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(float(qk))
-        # attention_bias: (bs, 1, 1, K) additive
-        return scores + attention_bias[:, 0]
+        return self.score(
+            query_inputs, self.project_keys(key_inputs), attention_bias
+        )
 
 
 def batch_gather(x: jnp.ndarray, inds: jnp.ndarray) -> jnp.ndarray:

@@ -257,6 +257,10 @@ class MMF_M4C(nn.Module):
         fixed_ans_emb = self._fixed_ans_emb()
         dec_table = self.mmt.build_dec_table(fixed_ans_emb, ocr_emb)
         ans_num = fixed_ans_emb.shape[0]
+        # step-invariant ptr-net key projection hoisted out of the scan
+        # (XLA does not hoist scan invariants — re-projecting (bs, K, h)
+        # keys every step was pure waste)
+        ptr_keys = self.ocr_ptr_net.project_keys(ctx_ocr)
 
         def body(mdl, carry, step):
             prev_token, caches = carry
@@ -270,7 +274,7 @@ class MMF_M4C(nn.Module):
                     dec_emb, context, caches, bias_base, step
                 )
             fixed = mdl.classifier(out)
-            dynamic = mdl.ocr_ptr_net(out, ctx_ocr, ocr_bias)
+            dynamic = mdl.ocr_ptr_net.score(out, ptr_keys, ocr_bias)
             scores = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0]
             next_token = jnp.argmax(scores, axis=-1).astype(prev_token.dtype)
             return (next_token, caches), scores

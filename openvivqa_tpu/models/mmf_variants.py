@@ -372,6 +372,9 @@ class _IterativeM4CBase(MMF_M4C):
         fixed_ans_emb = self._fixed_ans_emb()
         dec_table = self.dec_embeddings.build_table(fixed_ans_emb, enc["ocr_emb"])
         ans_num = fixed_ans_emb.shape[0]
+        # step-invariant ptr-net key projection hoisted out of the scan
+        # (XLA does not hoist scan invariants — CLAUDE.md measured facts)
+        ptr_keys = self.ocr_ptr_net.project_keys(ctx_ocr)
 
         def body(mdl, carry, step):
             prev_token, caches = carry
@@ -406,7 +409,7 @@ class _IterativeM4CBase(MMF_M4C):
                         cross_kv=cross_kvs[i], encoder_bias=enc["enc_bias"],
                     )
             fixed = mdl.classifier(dec)
-            dynamic = mdl.ocr_ptr_net(dec, ctx_ocr, enc["ocr_bias"])
+            dynamic = mdl.ocr_ptr_net.score(dec, ptr_keys, enc["ocr_bias"])
             scores = jnp.concatenate([fixed, dynamic], axis=-1)[:, 0]
             next_token = jnp.argmax(scores, axis=-1).astype(prev_token.dtype)
             return (next_token, tuple(new_caches)), scores

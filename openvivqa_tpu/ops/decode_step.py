@@ -279,7 +279,24 @@ def fused_self_attention_step(
     step_bias (bs,); t scalar int32.  Returns (y_post_ln, new_k, new_v,
     new_bias).  Caches may be bf16 (stores cast; attention math stays
     f32); eps selects the post-LN epsilon (flax 1e-6 default, 1e-12 for
-    the HF BertLayer family)."""
+    the HF BertLayer family).  Shards over the data axis under a
+    registered mesh (ops/sharding.py — GSPMD would otherwise replicate
+    the opaque pallas_call)."""
+    from .sharding import BATCH, REP, data_shard_map, kernel_mesh
+
+    mesh = kernel_mesh(x.shape[0])
+    if mesh is not None:
+        return data_shard_map(
+            lambda x_, sb_, t_, ck_, cv_, cb_, *w: fused_self_attention_step(
+                x_, *w, sb_, t_, ck_, cv_, cb_, scale, h, interpret, eps
+            ),
+            mesh,
+            in_specs=(BATCH, BATCH, REP, BATCH, BATCH, BATCH) + (REP,) * 10,
+            out_specs=(BATCH, BATCH, BATCH, BATCH),
+        )(
+            x, step_bias, t, cache_k, cache_v, cache_bias,
+            wq, bq, wk, bk, wv, bv, wo, bo, ln_scale, ln_bias,
+        )
     bs, hd = x.shape
     cbytes = 2 if cache_k.dtype == jnp.bfloat16 else 4
     wbytes = 2 if wq.dtype == jnp.bfloat16 else 4
@@ -455,7 +472,29 @@ def fused_decoder_layer_step(
       ffn_w:   w1,b1,w2,b2,ln_scale,ln_bias
     On hardware, pass weight matrices and enc_k/enc_v pre-cast to bf16
     (keeps numerics at XLA's default matmul precision and the cell in
-    VMEM); interpret mode takes f32 for exact CPU equivalence tests."""
+    VMEM); interpret mode takes f32 for exact CPU equivalence tests.
+    Shards over the data axis under a registered mesh (ops/sharding.py)."""
+    from .sharding import BATCH, REP, data_shard_map, kernel_mesh
+
+    mesh = kernel_mesh(x.shape[0])
+    if mesh is not None:
+        return data_shard_map(
+            lambda x_, sw, cw, fw, sb_, t_, ck_, cv_, cb_, ek_, ev_, eb_: (
+                fused_decoder_layer_step(
+                    x_, sw, cw, fw, sb_, t_, ck_, cv_, cb_, ek_, ev_, eb_,
+                    scale, h, interpret,
+                )
+            ),
+            mesh,
+            in_specs=(
+                BATCH, REP, REP, REP, BATCH, REP,
+                BATCH, BATCH, BATCH, BATCH, BATCH, BATCH,
+            ),
+            out_specs=(BATCH, BATCH, BATCH, BATCH),
+        )(
+            x, self_w, cross_w, ffn_w, step_bias, t,
+            cache_k, cache_v, cache_bias, enc_k, enc_v, enc_bias,
+        )
     bs, hd = x.shape
     wb = 2 if enc_k.dtype == jnp.bfloat16 else 4
     blk = decoder_layer_step_viable(
@@ -545,7 +584,20 @@ def fused_cross_attention_step(
 ):
     """Cross-attention decode step.  x (bs, hd); enc_k/enc_v (bs, Sk, hd)
     packed cached projections; enc_bias (bs, Sk) additive.  Returns the
-    post-LN hidden (bs, hd)."""
+    post-LN hidden (bs, hd).  Shards over the data axis under a
+    registered mesh (ops/sharding.py)."""
+    from .sharding import BATCH, REP, data_shard_map, kernel_mesh
+
+    mesh = kernel_mesh(x.shape[0])
+    if mesh is not None:
+        return data_shard_map(
+            lambda x_, ek_, ev_, eb_, *w: fused_cross_attention_step(
+                x_, *w, ek_, ev_, eb_, scale, h, interpret
+            ),
+            mesh,
+            in_specs=(BATCH, BATCH, BATCH, BATCH) + (REP,) * 6,
+            out_specs=BATCH,
+        )(x, enc_k, enc_v, enc_bias, wq, bq, wo, bo, ln_scale, ln_bias)
     bs, hd = x.shape
     blk = cross_attention_step_viable(bs, enc_k.shape[1], hd)
     assert blk is not None, "guard with cross_attention_step_viable"
@@ -643,7 +695,22 @@ def ffn_step_viable(
 
 def fused_ffn_step(x, w1, b1, w2, b2, ln_scale, ln_bias,
                    interpret: bool = False, eps: float = _LN_EPS):
-    """Dense -> erf-GELU -> Dense -> residual LayerNorm on (bs, hd) rows."""
+    """Dense -> erf-GELU -> Dense -> residual LayerNorm on (bs, hd) rows.
+    Shards over the data axis under a registered mesh (ops/sharding.py).
+    NOTE: callers flattening (bs, S, hd) encodes to (bs*S, hd) rows keep
+    data-parallel semantics because the flatten puts sample-major rows
+    first — bs*S rows shard into contiguous whole-sample groups as long
+    as the data axis divides bs*S (it divides bs in every task layout)."""
+    from .sharding import BATCH, REP, data_shard_map, kernel_mesh
+
+    mesh = kernel_mesh(x.shape[0])
+    if mesh is not None:
+        return data_shard_map(
+            lambda x_, *w: fused_ffn_step(x_, *w, interpret=interpret, eps=eps),
+            mesh,
+            in_specs=(BATCH,) + (REP,) * 6,
+            out_specs=BATCH,
+        )(x, w1, b1, w2, b2, ln_scale, ln_bias)
     bs, hd = x.shape
     wb = 2 if w1.dtype == jnp.bfloat16 else 4
     blk = ffn_step_viable(bs, hd, w1.shape[1], wb)
@@ -916,7 +983,26 @@ def fused_bert_self_step(
     pre-padded to the plan's chunk multiple; slot_k/v (bs, T, hd) aliased;
     ctx_bias (nj, bs, chunk) additive with MASK_VALUE on padded rows (see
     BertEncoderStack.init_fused_decode_state).  Returns (y, new_slot_k,
-    new_slot_v)."""
+    new_slot_v).  Shards over the data axis under a registered mesh
+    (ops/sharding.py; the (nj, bs, chunk) bias shards its MIDDLE dim)."""
+    from .sharding import (
+        BATCH,
+        BATCH_DIM1,
+        REP,
+        data_shard_map,
+        kernel_mesh,
+    )
+
+    mesh = kernel_mesh(x.shape[0])
+    if mesh is not None:
+        return data_shard_map(
+            lambda x_, w_, ckv_, sk_, sv_, st_, cb_: fused_bert_self_step(
+                x_, w_, ckv_, sk_, sv_, st_, cb_, scale, h, eps, interpret
+            ),
+            mesh,
+            in_specs=(BATCH, REP, BATCH, BATCH, BATCH, REP, BATCH_DIM1),
+            out_specs=(BATCH, BATCH, BATCH),
+        )(x, w, ctx_kv, slot_k, slot_v, step, ctx_bias)
     bs, hd = x.shape
     ctx_k, ctx_v = ctx_kv
     nj, _, chunk = ctx_bias.shape
@@ -1123,7 +1209,26 @@ def fused_cross_attention_streamed(
     projection + residual LayerNorm.  x (bs, hd); enc_kv = (k, v) each
     (bs, S_pad, hd) read-only, pre-padded to the plan's chunk multiple;
     enc_bias (nj, bs, chunk) additive with MASK_VALUE on padded rows.
-    Returns y (bs, hd)."""
+    Returns y (bs, hd).  Shards over the data axis under a registered
+    mesh (ops/sharding.py)."""
+    from .sharding import (
+        BATCH,
+        BATCH_DIM1,
+        REP,
+        data_shard_map,
+        kernel_mesh,
+    )
+
+    mesh = kernel_mesh(x.shape[0])
+    if mesh is not None:
+        return data_shard_map(
+            lambda x_, w_, ekv_, eb_: fused_cross_attention_streamed(
+                x_, w_, ekv_, eb_, scale, h, eps, interpret
+            ),
+            mesh,
+            in_specs=(BATCH, REP, BATCH, BATCH_DIM1),
+            out_specs=BATCH,
+        )(x, w, enc_kv, enc_bias)
     bs, hd = x.shape
     enc_k, enc_v = enc_kv
     nj, _, chunk = enc_bias.shape

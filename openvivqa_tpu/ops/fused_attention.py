@@ -284,11 +284,39 @@ def packed_attention_viable(sq: int, sk: int, hd: int, num_heads: int) -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_attention_packed_core(q, k, v, bias, scale: float, num_heads: int):
+    return _fused_packed_impl(q, k, v, bias, scale, num_heads)
+
+
 def fused_attention_packed(q, k, v, bias, scale: float, num_heads: int):
     """softmax over packed projections: q (b, Sq, h*d), k/v (b, Sk, h*d),
     bias broadcastable to (b, 1, Sq, Sk) (head-shared) or None.  Returns
-    (b, Sq, h*d) — the layout the output projection consumes directly."""
-    return _fused_packed_impl(q, k, v, bias, scale, num_heads)
+    (b, Sq, h*d) — the layout the output projection consumes directly.
+
+    Under a registered multi-device mesh (ops/sharding.py) the call routes
+    through shard_map over the data axis — each chip runs the kernel on
+    its batch shard; GSPMD would otherwise treat the pallas_call as opaque
+    and replicate the full batch onto every chip (VERDICT r4 item 4)."""
+    from .sharding import BATCH, REP, data_shard_map, kernel_mesh
+
+    mesh = kernel_mesh(q.shape[0])
+    if mesh is not None:
+        bias_spec = (
+            BATCH
+            if bias is not None and bias.shape[0] == q.shape[0]
+            else REP
+        )
+        # statics bound via closure: custom_vjp nondiff args must stay
+        # positional
+        return data_shard_map(
+            lambda q_, k_, v_, b_: _fused_attention_packed_core(
+                q_, k_, v_, b_, scale, num_heads
+            ),
+            mesh,
+            in_specs=(BATCH, BATCH, BATCH, bias_spec),
+            out_specs=BATCH,
+        )(q, k, v, bias)
+    return _fused_attention_packed_core(q, k, v, bias, scale, num_heads)
 
 
 def _fused_packed_impl(q, k, v, bias, scale, num_heads):
@@ -358,7 +386,7 @@ def _packed_bwd(scale, num_heads, residuals, g):
     )
 
 
-fused_attention_packed.defvjp(_packed_fwd, _packed_bwd)
+_fused_attention_packed_core.defvjp(_packed_fwd, _packed_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -493,11 +521,38 @@ def _streamed_call(q, k, v, biasf, scale, num_heads, q_block, k_block):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_attention_packed_streamed_core(
+    q, k, v, bias, scale: float, num_heads: int
+):
+    return _streamed_impl(q, k, v, bias, scale, num_heads)
+
+
 def fused_attention_packed_streamed(q, k, v, bias, scale: float, num_heads: int):
     """Flash-style packed attention for long key streams: same contract as
     `fused_attention_packed` but keys/values stream through VMEM in blocks
-    with online softmax, so sk is unbounded by the VMEM budget."""
-    return _streamed_impl(q, k, v, bias, scale, num_heads)
+    with online softmax, so sk is unbounded by the VMEM budget.  Shards
+    over the data axis under a registered mesh (see
+    fused_attention_packed)."""
+    from .sharding import BATCH, REP, data_shard_map, kernel_mesh
+
+    mesh = kernel_mesh(q.shape[0])
+    if mesh is not None:
+        bias_spec = (
+            BATCH
+            if bias is not None and bias.shape[0] == q.shape[0]
+            else REP
+        )
+        return data_shard_map(
+            lambda q_, k_, v_, b_: _fused_attention_packed_streamed_core(
+                q_, k_, v_, b_, scale, num_heads
+            ),
+            mesh,
+            in_specs=(BATCH, BATCH, BATCH, bias_spec),
+            out_specs=BATCH,
+        )(q, k, v, bias)
+    return _fused_attention_packed_streamed_core(
+        q, k, v, bias, scale, num_heads
+    )
 
 
 def _streamed_impl(q, k, v, bias, scale, num_heads):
@@ -527,7 +582,7 @@ def _streamed_fwd(q, k, v, bias, scale, num_heads):
     return _streamed_impl(q, k, v, bias, scale, num_heads), (q, k, v, bias)
 
 
-fused_attention_packed_streamed.defvjp(_streamed_fwd, _packed_bwd)
+_fused_attention_packed_streamed_core.defvjp(_streamed_fwd, _packed_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -640,12 +695,39 @@ def _packed_2bias_call(q, k, v, biasf, hbias, scale, num_heads, q_block):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_attention_packed_2bias_core(
+    q, k, v, bias, head_bias, scale: float, num_heads: int
+):
+    return _fused_packed_2bias_impl(q, k, v, bias, head_bias, scale, num_heads)
+
+
 def fused_attention_packed_2bias(q, k, v, bias, head_bias, scale: float, num_heads: int):
     """Packed attention with BOTH a head-shared bias (b,1,*,Sk or None) and
     a per-head bias (B,h,Sq,Sk) with B in {1, b} — e.g. T5's relative
     position table (batch-shared) or DeBERTa's disentangled c2p+p2c terms
-    (per-batch).  q/k/v in (b, S, h*d) packed layout."""
-    return _fused_packed_2bias_impl(q, k, v, bias, head_bias, scale, num_heads)
+    (per-batch).  q/k/v in (b, S, h*d) packed layout.  Shards over the
+    data axis under a registered mesh (see fused_attention_packed)."""
+    from .sharding import BATCH, REP, data_shard_map, kernel_mesh
+
+    mesh = kernel_mesh(q.shape[0])
+    if mesh is not None:
+        bias_spec = (
+            BATCH
+            if bias is not None and bias.shape[0] == q.shape[0]
+            else REP
+        )
+        hb_spec = BATCH if head_bias.shape[0] == q.shape[0] else REP
+        return data_shard_map(
+            lambda q_, k_, v_, b_, hb_: _fused_attention_packed_2bias_core(
+                q_, k_, v_, b_, hb_, scale, num_heads
+            ),
+            mesh,
+            in_specs=(BATCH, BATCH, BATCH, bias_spec, hb_spec),
+            out_specs=BATCH,
+        )(q, k, v, bias, head_bias)
+    return _fused_attention_packed_2bias_core(
+        q, k, v, bias, head_bias, scale, num_heads
+    )
 
 
 def _fused_packed_2bias_impl(q, k, v, bias, head_bias, scale, num_heads):
@@ -691,7 +773,7 @@ def _packed_2bias_bwd(scale, num_heads, residuals, g):
     return dq, dk, dv, dbias, dhead.astype(head_bias.dtype)
 
 
-fused_attention_packed_2bias.defvjp(_packed_2bias_fwd, _packed_2bias_bwd)
+_fused_attention_packed_2bias_core.defvjp(_packed_2bias_fwd, _packed_2bias_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -1006,16 +1088,9 @@ def dropout_attention_viable(sq: int, sk: int, hd: int, num_heads: int) -> bool:
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def fused_attention_packed_dropout(
+def _fused_attention_packed_dropout_core(
     q, k, v, bias, seed, scale: float, num_heads: int, rate: float
 ):
-    """Packed attention with in-kernel attention-weights dropout.
-
-    seed: (1,) int32 (derive from the flax 'dropout' RNG per call).  The
-    dropout pattern differs from the XLA path's jax.random draws (TPU
-    hardware PRNG) — statistically equivalent, deterministic per seed.
-    bias is treated as non-differentiable (all framework biases are mask
-    constants)."""
     biasf, _ = _normalise_bias_packed(bias, q.shape[0], q.shape[1], k.shape[1])
     q_block = plan_dropout_fwd_q_block(q.shape[1], k.shape[1], q.shape[2])
     if q_block is None:  # same explicit guard as every sibling entry point
@@ -1029,8 +1104,54 @@ def fused_attention_packed_dropout(
     )
 
 
+def fused_attention_packed_dropout(
+    q, k, v, bias, seed, scale: float, num_heads: int, rate: float
+):
+    """Packed attention with in-kernel attention-weights dropout.
+
+    seed: (1,) int32 (derive from the flax 'dropout' RNG per call).  The
+    dropout pattern differs from the XLA path's jax.random draws (TPU
+    hardware PRNG) — statistically equivalent, deterministic per seed.
+    bias is treated as non-differentiable (all framework biases are mask
+    constants).
+
+    Under a registered multi-device mesh the call shard_maps over the
+    data axis (see fused_attention_packed); each shard folds its data
+    axis index into the seed so shards draw DISTINCT dropout masks (the
+    in-kernel PRNG is seeded per (batch, head, tile) relative to the
+    shard-local batch, which would otherwise repeat across shards)."""
+    from .sharding import BATCH, REP, data_shard_map, kernel_mesh
+
+    mesh = kernel_mesh(q.shape[0])
+    if mesh is not None:
+        from .sharding import DATA_AXIS
+
+        bias_spec = (
+            BATCH
+            if bias is not None and bias.shape[0] == q.shape[0]
+            else REP
+        )
+
+        def body(q_, k_, v_, b_, seed_):
+            shard_seed = seed_ + jax.lax.axis_index(DATA_AXIS).astype(
+                seed_.dtype
+            ) * jnp.asarray(7919, seed_.dtype)
+            return _fused_attention_packed_dropout_core(
+                q_, k_, v_, b_, shard_seed, scale, num_heads, rate
+            )
+
+        return data_shard_map(
+            body, mesh,
+            in_specs=(BATCH, BATCH, BATCH, bias_spec, REP),
+            out_specs=BATCH,
+        )(q, k, v, bias, seed)
+    return _fused_attention_packed_dropout_core(
+        q, k, v, bias, seed, scale, num_heads, rate
+    )
+
+
 def _packed_dropout_fwd(q, k, v, bias, seed, scale, num_heads, rate):
-    out = fused_attention_packed_dropout(
+    out = _fused_attention_packed_dropout_core(
         q, k, v, bias, seed, scale, num_heads, rate
     )
     return out, (q, k, v, bias, seed)
@@ -1064,7 +1185,9 @@ def _packed_dropout_bwd(scale, num_heads, rate, residuals, g):
     return (dq, dk, dv, dbias, dseed)
 
 
-fused_attention_packed_dropout.defvjp(_packed_dropout_fwd, _packed_dropout_bwd)
+_fused_attention_packed_dropout_core.defvjp(
+    _packed_dropout_fwd, _packed_dropout_bwd
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1135,6 +1258,16 @@ def _fused_attention_flat(qf, kf, vf, biasf, scale: float, heads: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _fused_attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    scale: float,
+) -> jnp.ndarray:
+    return _fused_attention_impl(q, k, v, bias, scale)
+
+
 def fused_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -1147,8 +1280,27 @@ def fused_attention(
     q: (b, h, Sq, d); k, v: (b, h, Sk, d); bias broadcastable to
     (b, h, Sq, Sk) using the additive 0/-10e4 convention (or None).
     Exact w.r.t. the XLA reference at default matmul precision.
+    Shards over the data axis under a registered mesh (see
+    fused_attention_packed).
     """
-    return _fused_attention_impl(q, k, v, bias, scale)
+    from .sharding import BATCH, REP, data_shard_map, kernel_mesh
+
+    mesh = kernel_mesh(q.shape[0])
+    if mesh is not None:
+        bias_spec = (
+            BATCH
+            if bias is not None and bias.shape[0] == q.shape[0]
+            else REP
+        )
+        return data_shard_map(
+            lambda q_, k_, v_, b_: _fused_attention_core(
+                q_, k_, v_, b_, scale
+            ),
+            mesh,
+            in_specs=(BATCH, BATCH, BATCH, bias_spec),
+            out_specs=BATCH,
+        )(q, k, v, bias)
+    return _fused_attention_core(q, k, v, bias, scale)
 
 
 def _fused_attention_impl(q, k, v, bias, scale):
@@ -1210,4 +1362,4 @@ def _bwd(scale, residuals, g):
     )
 
 
-fused_attention.defvjp(_fwd, _bwd)
+_fused_attention_core.defvjp(_fwd, _bwd)

@@ -77,6 +77,13 @@ class BaseTask:
             dict(zip(self.mesh.axis_names, self.mesh.devices.shape)),
             self.fsdp,
         )
+        # register the mesh for the Pallas kernels: their pallas_calls are
+        # GSPMD-opaque, so under a multi-device mesh each kernel wrapper
+        # shard_maps itself over the data axis (ops/sharding.py) instead
+        # of letting GSPMD replicate the full batch per chip
+        from ...ops.sharding import set_kernel_mesh
+
+        set_kernel_mesh(self.mesh)
         # PRNG impl: threefry mask generation measured 1.78 ms/step at MCAN
         # train dims on v5e vs 0.82 ms with the TPU hardware rbg generator —
         # dropout masks were ~17% of the whole train step.  Statistically

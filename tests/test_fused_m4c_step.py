@@ -251,3 +251,67 @@ def test_fused_step_standalone_m4c(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(fused["scores"]), np.asarray(want["scores"]), atol=2e-4
     )
+
+
+def test_encode_ffn_kernel_routing(monkeypatch):
+    """Full-sequence encodes route each BertLayer FFN through the fused
+    Pallas FFN kernel (bert.BertLayer._ffn_fused — the MMT context encode
+    was the largest MMF-greedy stage and its FFN half the larger part).
+    Equivalence vs the XLA sublayer within the erf-approximation bound,
+    plus an engagement check so a silent fall-through cannot pass."""
+    from openvivqa_tpu.models.modules.bert import BertEncoderStack
+    import openvivqa_tpu.ops.decode_step as ds
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 24, H)).astype(np.float32))
+    stack = BertEncoderStack(hidden_size=H, num_layers=2, num_heads=HEADS)
+    variables = jax.jit(stack.init)(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("OPENVIVQA_ENCODE_FFN", "0")
+    want = stack.apply(variables, x)
+
+    calls = []
+    real = ds.fused_ffn_step
+
+    def counting(*args, **kwargs):
+        calls.append(args[0].shape)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ds, "fused_ffn_step", counting)
+    monkeypatch.delenv("OPENVIVQA_ENCODE_FFN")
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL", "interpret")
+    fused = stack.apply(variables, x)
+
+    assert calls == [(48, H), (48, H)], "encode FFN kernel did not engage"
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(want), atol=2e-5)
+
+
+def test_encode_ffn_kernel_skips_train_and_single_token(monkeypatch):
+    """The routing must NOT engage for training (no dropout/AD in the
+    kernel) or single-token decode rows (in-scan weight casts are not
+    hoisted by XLA)."""
+    from openvivqa_tpu.models.modules.bert import BertEncoderStack
+    import openvivqa_tpu.ops.decode_step as ds
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(2, 8, H)).astype(np.float32))
+    stack = BertEncoderStack(hidden_size=H, num_layers=1, num_heads=HEADS)
+    variables = jax.jit(stack.init)(jax.random.PRNGKey(0), x)
+
+    calls = []
+    real = ds.fused_ffn_step
+
+    def counting(*args, **kwargs):
+        calls.append(args[0].shape)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(ds, "fused_ffn_step", counting)
+    monkeypatch.setenv("OPENVIVQA_DECODE_KERNEL", "interpret")
+
+    stack.apply(
+        variables, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}
+    )
+    assert calls == [], "kernel must not engage in training mode"
+
+    stack.apply(variables, x[:, :1, :])
+    assert calls == [], "kernel must not engage for single-token rows"

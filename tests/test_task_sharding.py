@@ -89,3 +89,72 @@ def test_tp_beam_decode_eval(synthetic_data, tmp_path):
     import numpy as np
 
     assert np.isfinite(scores["CIDEr"])
+
+
+def test_mmf_m4c_task_under_mesh(synthetic_data, tmp_path):
+    """The flagship M4C family under TRAINING.MESH (VERDICT r4 item 6):
+    TrainingMMF with MODEL_PARALLEL=2 trains, runs the incremental greedy
+    eval, checkpoints and resumes under the (data=4, model=2) mesh — and
+    the mesh-run greedy predictions are identical to applying the SAME
+    trained params unsharded (the decode caches / split gather tables /
+    pointer net produce device-count-independent results)."""
+    import numpy as np
+
+    from openvivqa_tpu.ops.sharding import set_kernel_mesh
+    from test_mmf_e2e import _mmf_task_config
+
+    populate()
+    config = _mmf_task_config(synthetic_data, tmp_path).merged(
+        {
+            "TRAINING": {
+                "MESH": {"MODEL_PARALLEL": 2, "FSDP": True},
+                "MAX_EPOCHS": 1,
+            },
+            "MODEL": {
+                "NAME": "mmf_m4c_sharded",
+                "DECODING_MODE": "incremental",
+            },
+        }
+    )
+    try:
+        task = build_task(config)
+        assert dict(zip(task.mesh.axis_names, task.mesh.devices.shape)) == {
+            "data": 4,
+            "model": 2,
+        }
+        param_specs = _specs(task.state.params)
+        assert any("model" in s for s in param_specs.values())
+
+        task.start()  # 1 epoch: sharded train + incremental greedy eval + save
+        scores = task.evaluate_metrics(task.dev_dict_dataloader)
+        assert "CIDEr" in scores and np.isfinite(scores["CIDEr"])
+
+        # resume re-shards identically
+        task2 = build_task(config)
+        metadata = task2.load_checkpoint(
+            f"{task2.checkpoint_path}/last_model.pth"
+        )
+        assert metadata is not None
+        assert _specs(task2.state.params) == param_specs
+
+        # mesh greedy == unsharded greedy on the same trained params
+        batch = next(iter(task.dev_dataloader))
+        arrays = batch.arrays()
+        model_inputs = {
+            k: v for k, v in arrays.items() if k != "sample_valid"
+        }
+        params = jax.device_get(task.state.params)
+        sharded_out = task.model.apply(
+            {"params": task.state.params}, model_inputs,
+            method="greedy_decode",
+        )
+        set_kernel_mesh(None)
+        local_out = task.model.apply(
+            {"params": params}, model_inputs, method="greedy_decode"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(sharded_out["prev_inds"]),
+            np.asarray(local_out["prev_inds"]),
+        )
+    finally:
+        set_kernel_mesh(None)
