@@ -147,6 +147,77 @@ class BertSelfAttention(nn.Module):
         out = self.Dense_3(context)
         return self.LayerNorm_0(hidden_states + out)
 
+    def _sublayer_fused(self, hidden_states, attention_bias):
+        """Route the WHOLE eval-encode self-attention sublayer through the
+        fused Pallas kernel F (q/k/v projections + per-head softmax with
+        the key-padding bias + out projection + residual LN in ONE call —
+        ops/encoder_layer.py).  The TextBert question encode was the
+        flagship MMF-greedy workload's largest stage (5.06 ms = 40.6 % at
+        bs 32 on v5e for a 3-layer 20-token BERT: pure op-chain latency,
+        the disease kernels D/E cured on the decode side), and the MMT
+        220-token context encode kept ~10 XLA ops per layer around its
+        packed-attention call.
+
+        Engages only for multi-token SELF-attention eval encodes with a
+        key-only additive bias on TPU (or interpret mode for CPU
+        equivalence tests): training needs dropout + AD, cross-attention
+        reads kv_states the kernel does not take, causal/full (bq > 1)
+        biases never reach eval encodes here, and init must create params
+        through the XLA path.  OPENVIVQA_ENCODE_ATTN=0 forces off for A/B.
+        Returns None to fall through to the packed-kernel / XLA paths."""
+        if (
+            self.is_initializing()
+            or hidden_states.ndim != 3
+            or hidden_states.shape[1] <= 1
+            or self.hidden_size % self.num_heads
+            or os.environ.get("OPENVIVQA_ENCODE_ATTN", "") in ("0", "off")
+        ):
+            return None
+        from ...ops.decode_step import decode_kernel_mode
+        from ...ops.encoder_layer import (
+            encoder_attention_plan,
+            fused_encoder_self_attention,
+        )
+
+        mode = decode_kernel_mode()
+        if mode == "off":
+            return None
+        interpret = mode == "interpret"
+        bs, seq, hd = hidden_states.shape
+        if attention_bias is None:
+            key_bias = jnp.zeros((bs, seq), jnp.float32)
+        else:
+            if (
+                attention_bias.ndim != 4
+                or attention_bias.shape[1] != 1
+                or attention_bias.shape[2] != 1
+                or attention_bias.shape[3] != seq
+            ):
+                return None  # per-head or causal bias: not a key-only mask
+            key_bias = jnp.broadcast_to(
+                attention_bias[:, 0, 0, :], (bs, seq)
+            ).astype(jnp.float32)
+        if encoder_attention_plan(bs, seq, hd, 4 if interpret else 2) is None:
+            return None
+        params_of = lambda m: m.variables["params"]  # noqa: E731
+        cast = (lambda w: w) if interpret else (lambda w: w.astype(jnp.bfloat16))
+        pq, pk = params_of(self.Dense_0), params_of(self.Dense_1)
+        pv, po = params_of(self.Dense_2), params_of(self.Dense_3)
+        ln = params_of(self.LayerNorm_0)
+        return fused_encoder_self_attention(
+            hidden_states.astype(jnp.float32),
+            {
+                "wq": cast(pq["kernel"]), "bq": pq["bias"],
+                "wk": cast(pk["kernel"]), "bk": pk["bias"],
+                "wv": cast(pv["kernel"]), "bv": pv["bias"],
+                "wo": cast(po["kernel"]), "bo": po["bias"],
+                "ln_scale": ln["scale"], "ln_bias": ln["bias"],
+            },
+            key_bias,
+            1.0 / float(self.hidden_size // self.num_heads) ** 0.5,
+            self.num_heads, LN_EPS, interpret=interpret,
+        ).astype(hidden_states.dtype)
+
     def __call__(
         self,
         hidden_states: jnp.ndarray,
@@ -154,6 +225,10 @@ class BertSelfAttention(nn.Module):
         attention_bias: Optional[jnp.ndarray] = None,
         train: bool = False,
     ) -> jnp.ndarray:
+        if kv_states is None and not train:
+            fused = self._sublayer_fused(hidden_states, attention_bias)
+            if fused is not None:
+                return fused
         kv = hidden_states if kv_states is None else kv_states
         head_dim = self.hidden_size // self.num_heads
 
