@@ -171,3 +171,36 @@ def test_m4c_greedy_sharded_with_interpret_kernels(mesh8, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got["scores"]), np.asarray(want["scores"]), atol=1e-5
     )
+
+
+def test_fused_encoder_attention_sharded_matches_local(mesh8, monkeypatch):
+    """Kernel F (ops/encoder_layer.py) under the data mesh: the sharded
+    call must equal the unsharded one (each shard runs the block-diagonal
+    kernel on its local samples; the plan re-derives per-shard)."""
+    from openvivqa_tpu.ops.encoder_layer import fused_encoder_self_attention
+
+    rng = np.random.default_rng(2)
+    bs, seq = 16, 10
+    x = jnp.asarray(rng.normal(size=(bs, seq, H)).astype(np.float32))
+    kb = np.zeros((bs, seq), np.float32)
+    kb[:, -2:] = -10e4
+    kb = jnp.asarray(kb)
+    w = {}
+    for i, name in enumerate(("q", "k", "v", "o")):
+        w[f"w{name}"] = (
+            jnp.asarray(rng.normal(size=(H, H)).astype(np.float32)) * 0.05
+        )
+        w[f"b{name}"] = jnp.zeros((H,), jnp.float32)
+    w["ln_scale"] = jnp.ones((H,), jnp.float32)
+    w["ln_bias"] = jnp.zeros((H,), jnp.float32)
+    scale = 1.0 / (H // HEADS) ** 0.5
+
+    kshard.set_kernel_mesh(None)
+    want = fused_encoder_self_attention(
+        x, w, kb, scale, HEADS, 1e-12, interpret=True
+    )
+    kshard.set_kernel_mesh(mesh8)
+    got = fused_encoder_self_attention(
+        x, w, kb, scale, HEADS, 1e-12, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
