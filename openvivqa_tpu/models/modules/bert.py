@@ -151,12 +151,19 @@ class BertSelfAttention(nn.Module):
         """Route the WHOLE eval-encode self-attention sublayer through the
         fused Pallas kernel F (q/k/v projections + per-head softmax with
         the key-padding bias + out projection + residual LN in ONE call —
-        ops/encoder_layer.py).  The TextBert question encode was the
-        flagship MMF-greedy workload's largest stage (5.06 ms = 40.6 % at
-        bs 32 on v5e for a 3-layer 20-token BERT: pure op-chain latency,
-        the disease kernels D/E cured on the decode side), and the MMT
-        220-token context encode kept ~10 XLA ops per layer around its
-        packed-attention call.
+        ops/encoder_layer.py).  MEASURED interleaved on v5e at MMF bench
+        dims (bs 32, chain=64 so the ~24 ms tunnel dispatch floor is
+        amortised — chain-8 numbers carry a ~3 ms/iter floor that had
+        inflated the round-4 'TextBert = 40.6 %' attribution): TextBert
+        question encode 0.70 -> 0.64 ms (1.09x), cumulative context
+        prefix 4.08 -> 4.00 ms, full greedy batch neutral (8.0 vs 7.9 ms,
+        within drift).  Kept ON: the prefix wins are real, encode-heavy
+        callers (classification tasks, longer questions, deeper stacks)
+        scale with the per-layer op-count cut (a 3-layer 20-token stack's
+        marginal per-layer cost drops to ~45 us, scripts/
+        profile_textbert.py), and greedy equivalence is pinned on-chip
+        (100 % token agreement, max |score diff| 7.5e-3,
+        scripts/check_decode_kernel_tpu.py).
 
         Engages only for multi-token SELF-attention eval encodes with a
         key-only additive bias on TPU (or interpret mode for CPU

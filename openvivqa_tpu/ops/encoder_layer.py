@@ -1,21 +1,28 @@
 """Pallas TPU fused encoder self-attention sublayer (kernel F).
 
-The flagship MMF-greedy workload's LARGEST stage after round 4 was the
-TextBert question encode: 5.06 ms = 40.6 % of the 12.47 ms batch at
-reference dims (bs 32, T 12, v5e — scripts/profile_m4c_context.py), for a
-3-layer BERT over a *20-token* stream whose total FLOPs are ~2.7 GFLOP.
-That is op-LATENCY, not compute: ~15 tiny XLA ops per attention sublayer
-(3 projections, head split, logits, softmax, context, merge, out
-projection, residual, LayerNorm), each paying dispatch latency on a
-20x768 operand.  The MMT 220-token context encode (34.3 %) has the same
-disease one level up — its FFN half was fused in round 4
-(`fused_ffn_step` routed from BertLayer.ffn) but its attention sublayer
-still ran as the op chain around `fused_attention_packed`.
+Round 4's knockout put the TextBert question encode at "5.06 ms = 40.6 %"
+of the MMF-greedy batch (scripts/profile_m4c_context.py at chain=8) — a
+number this round showed was ~60 % tunnel-dispatch floor: the fixed
+~24 ms per program invocation (CLAUDE.md) lands ~3 ms/iter on chain-8
+prefixes, and the floor-free (chain=64) TextBert cost after the round-4
+FFN fusion is ~0.7 ms.  The structural diagnosis still held: ~15 tiny
+XLA ops per attention sublayer (3 projections, head split, logits,
+softmax, context, merge, out projection, residual, LayerNorm), each
+paying op latency on a 20x768 operand, and the same chain one level up
+in the MMT 220-token context encode around its packed-attention call.
 
 Kernel F collapses the WHOLE sublayer into one pallas_call per layer:
 q/k/v projections, per-head softmax attention with the key-padding bias,
 output projection, residual + LayerNorm.  Combined with the fused FFN
 that is 2 pallas_calls per BertLayer encode instead of ~25 XLA ops.
+MEASURED interleaved on v5e at MMF bench dims (bs 32, chain=64):
+TextBert 0.70 -> 0.64 ms (1.09x; marginal per-layer cost ~45 us),
+cumulative context prefix 4.08 -> 4.00 ms, full greedy batch neutral —
+the prefix wins are real but the decode stages dominate the batch.  Kept
+on by default for the prefix wins and for encode-heavy callers (deeper
+stacks / longer streams scale with the per-layer op-count cut); greedy
+equivalence pinned on-chip (100 % token agreement, |score diff| <=
+7.5e-3).
 
 Layout: the (b, S, h*d) input is padded to S_pad = ceil(S / 8) * 8 rows
 per sample (Mosaic's second-to-last block dim must be divisible by 8 or
