@@ -451,7 +451,10 @@ def decoder_layer_step_viable(
         + 2 * (2 * sk * hd * weight_bytes + sk * 4)
         + (hd + d_ff) * 4  # attn scratch + ffn hidden stack temp
     )
-    for blk in [bs] + [b for b in (48, 32, 24, 16, 12, 8, 4, 2, 1) if b < bs]:
+    # sub-8 blocks are only legal as blk == bs (Mosaic's second-to-last
+    # block dim rule — see _plan_batch_block): a 63-row SCST beam batch
+    # used to fall through to blk=1 and crash lowering
+    for blk in [bs] + [b for b in (48, 32, 24, 16, 8) if b < bs]:
         if bs % blk:
             continue
         if fixed + blk * per_row <= _LAYER_VMEM_BUDGET:

@@ -315,3 +315,16 @@ def test_encode_ffn_kernel_skips_train_and_single_token(monkeypatch):
 
     stack.apply(variables, x[:, :1, :])
     assert calls == [], "kernel must not engage for single-token rows"
+
+
+def test_decoder_layer_plan_legality_odd_batch():
+    """Planner blocks must satisfy Mosaic's second-to-last-dim rule:
+    divisible by 8 or equal to the full batch.  A 63-row SCST beam batch
+    used to get blk=1 and crash pallas lowering (round-5 regression)."""
+    from openvivqa_tpu.ops.decode_step import decoder_layer_step_viable
+
+    for bs in (63, 21, 7, 12, 60, 64, 192):
+        blk = decoder_layer_step_viable(bs, 14, 120, 512, 2048, 2)
+        assert blk is None or blk == bs or blk % 8 == 0, (bs, blk)
+        if blk is not None:
+            assert bs % blk == 0
