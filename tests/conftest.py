@@ -114,3 +114,18 @@ def _purge_reference_fakes():
 def synthetic_data(tmp_path_factory):
     root = tmp_path_factory.mktemp("synthetic")
     return generate_synthetic_dataset(str(root), seed=0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_mesh():
+    """BaseTask.__init__ registers its mesh process-wide for the Pallas
+    kernel shard_map routing (ops/sharding.py) and nothing unregisters it
+    when the task is dropped — without this reset, any test building a
+    task leaks its mesh into every later test's kernel calls (round-5
+    full-suite failure: a leaked 8-device mesh made the FFN-routing
+    test's monkeypatched fused_ffn_step re-enter itself through the
+    shard_map body and double-count)."""
+    yield
+    from openvivqa_tpu.ops.sharding import set_kernel_mesh
+
+    set_kernel_mesh(None)
